@@ -53,15 +53,18 @@ PI = _Sentinel("ProcessingInstruction")
 class Element:
     """Minimal lxml-compatible element: tag/attrib/text/tail + tree nav."""
 
-    __slots__ = ("tag", "attrib", "text", "tail", "_children", "_parent")
+    __slots__ = ("tag", "attrib", "text", "tail", "_children", "_parent", "srcpos")
 
-    def __init__(self, tag, attrib=None):
+    def __init__(self, tag, attrib=None, srcpos=-1):
         self.tag = tag
         self.attrib = attrib if attrib is not None else {}
         self.text = None
         self.tail = None
         self._children = []
         self._parent = None
+        #: char offset of the start tag in the source document (-1 when the
+        #: element is implied); used to map blocks back to input spans
+        self.srcpos = srcpos
 
     # -- tree navigation (lxml surface used by the kernels) ---------------
     def getparent(self):
@@ -335,6 +338,7 @@ class _TreeBuilder:
         "discard_depth",
         "remove_comments",
         "remove_pis",
+        "pos",
     )
 
     def __init__(self, remove_comments: bool, remove_pis: bool):
@@ -344,6 +348,7 @@ class _TreeBuilder:
         self.discard_depth = 0
         self.remove_comments = remove_comments
         self.remove_pis = remove_pis
+        self.pos = 0  # source char offset of the token being handled
 
     # -- element plumbing --------------------------------------------------
     def _attach(self, el: Element):
@@ -356,7 +361,7 @@ class _TreeBuilder:
             self.root = el
 
     def _push_new(self, tag: str, attrib=None) -> Element:
-        el = Element(tag, attrib or {})
+        el = Element(tag, attrib or {}, srcpos=self.pos)
         self._attach(el)
         self.stack.append(el)
         return el
@@ -414,7 +419,7 @@ class _TreeBuilder:
         elif tag == "body":
             self.html_state = 10
 
-        el = Element(tag, attrib)
+        el = Element(tag, attrib, srcpos=self.pos)
         if tag == "html" and self.root is None and not self.stack:
             self.root = el
             self.stack.append(el)
@@ -511,6 +516,7 @@ def parse_html(
         if lt > i:
             pending_text.append(s[i:lt])
         i = lt
+        b.pos = i
         nxt = s[i + 1] if i + 1 < n else ""
 
         if nxt == "!":

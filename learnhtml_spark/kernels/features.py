@@ -1,0 +1,239 @@
+"""Per-node DOM feature extraction (the reference's feature semantics).
+
+Produces, for every node of a document (comments and PIs included), the
+reference's feature frame (learnhtml/features.py):
+
+- 10 local features: depth, sibling_pos, tag, no_classes, id_len,
+  class_len, no_children, text_len, class_text, id_text
+  (features.py:117-139; tag of a comment/PI node is 'html_comment',
+  features.py:28-29; text_len is the subtree text length, 0 for
+  comments/PIs, features.py:32-40)
+- descendant aggregates per level 1..depth: no_nodes, *_avg, and the
+  comma-joined classes/ids/tags strings (features.py:152-183,225-257).
+  NB the reference joins each descendant's class string with
+  ``' '.join(str)`` — i.e. characters space-interleaved; that quirk is
+  part of the golden contract and replicated here.
+- ancestor features per level 1..height, zero/empty padded
+  (features.py:107-114,196-223).
+- the node's XPath as ``path``.
+
+All columns are computed in one pass over the node list with explicit
+parent-index arrays — no recursion, suitable for running per document
+inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from learnhtml_spark.htmlparse import Element, getpath, parse_html
+
+LOCAL_COLUMNS = [
+    "depth",
+    "sibling_pos",
+    "tag",
+    "no_classes",
+    "id_len",
+    "class_len",
+    "no_children",
+    "text_len",
+    "class_text",
+    "id_text",
+]
+
+DESCENDANT_FEATURES = [
+    "no_nodes",
+    "no_children_avg",
+    "id_len_avg",
+    "no_classes_avg",
+    "class_len_avg",
+    "text_len_avg",
+    "classes",
+    "ids",
+    "tags",
+]
+
+#: zero/empty padding for missing ancestors, aligned with LOCAL_COLUMNS
+_EMPTY_LOCAL = (0, 0, "", 0, 0, 0, 0, 0, "", "")
+
+
+def ancestor_columns(height: int) -> list[str]:
+    return [
+        f"ancestor{i}_{name}"
+        for i in range(1, height + 1)
+        for name in LOCAL_COLUMNS
+    ]
+
+
+def descendant_columns(depth: int) -> list[str]:
+    return [
+        f"descendant{i}_{name}"
+        for i in range(1, depth + 1)
+        for name in DESCENDANT_FEATURES
+    ]
+
+
+def feature_columns(depth: int, height: int) -> list[str]:
+    """Full column list in the reference's concatenation order
+    (local, descendant, ancestor, path)."""
+    return (
+        LOCAL_COLUMNS + descendant_columns(depth) + ancestor_columns(height) + ["path"]
+    )
+
+
+def extract_features_from_tree(root: Element, depth: int, height: int) -> pd.DataFrame:
+    """Feature frame for all nodes of a parsed tree, document order."""
+    nodes = list(root.iter())
+    n = len(nodes)
+    index = {id(node): i for i, node in enumerate(nodes)}
+    parent = np.full(n, -1, dtype=np.int64)
+    for i, node in enumerate(nodes):
+        p = node._parent
+        if p is not None:
+            parent[i] = index[id(p)]
+
+    # ---- local features ---------------------------------------------------
+    depth_arr = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        depth_arr[i] = depth_arr[parent[i]] + 1 if parent[i] >= 0 else 1
+
+    sibling_pos = np.zeros(n, dtype=np.int64)
+    for i, node in enumerate(nodes):
+        for k, child in enumerate(node._children):
+            sibling_pos[index[id(child)]] = k
+
+    tags = [t if isinstance(t := node.tag, str) else "html_comment" for node in nodes]
+    is_element = np.fromiter(
+        (isinstance(node.tag, str) for node in nodes), dtype=bool, count=n
+    )
+    class_text = [node.attrib.get("class", "") if isinstance(node.tag, str) else "" for node in nodes]
+    id_text = [node.attrib.get("id", "") if isinstance(node.tag, str) else "" for node in nodes]
+    no_classes = np.fromiter((len(c.split()) for c in class_text), np.int64, n)
+    id_len = np.fromiter((len(s) for s in id_text), np.int64, n)
+    class_len = np.fromiter((len(c) for c in class_text), np.int64, n)
+    no_children = np.fromiter((len(node._children) for node in nodes), np.int64, n)
+
+    # subtree text length, bottom-up (reverse document order): the subtree
+    # text of an element is its text + each child's subtree text + tail;
+    # comment/PI children contribute only their tails (lxml itertext rule)
+    text_len = np.zeros(n, dtype=np.int64)
+    for i in range(n - 1, -1, -1):
+        node = nodes[i]
+        total = len(node.text) if node.text else 0
+        for child in node._children:
+            ci = index[id(child)]
+            if isinstance(child.tag, str):
+                total += text_len[ci]
+            if child.tail:
+                total += len(child.tail)
+        text_len[i] = total
+    text_len = np.where(is_element, text_len, 0)
+
+    data = {
+        "depth": depth_arr,
+        "sibling_pos": sibling_pos,
+        "tag": tags,
+        "no_classes": no_classes,
+        "id_len": id_len,
+        "class_len": class_len,
+        "no_children": no_children,
+        "text_len": text_len,
+        "class_text": class_text,
+        "id_text": id_text,
+    }
+    df = pd.DataFrame(data, columns=LOCAL_COLUMNS)
+
+    # ---- descendant aggregates --------------------------------------------
+    if depth > 0:
+        cnt = np.zeros((n, depth), dtype=np.int64)
+        s_children = np.zeros((n, depth), dtype=np.int64)
+        s_idlen = np.zeros((n, depth), dtype=np.int64)
+        s_nclass = np.zeros((n, depth), dtype=np.int64)
+        s_clslen = np.zeros((n, depth), dtype=np.int64)
+        s_txtlen = np.zeros((n, depth), dtype=np.int64)
+        l_classes: list[list[list[str]]] = [
+            [[] for _ in range(depth)] for _ in range(n)
+        ]
+        l_ids: list[list[list[str]]] = [[[] for _ in range(depth)] for _ in range(n)]
+        l_tags: list[list[list[str]]] = [[[] for _ in range(depth)] for _ in range(n)]
+
+        for i in range(n):
+            anc = parent[i]
+            lvl = 0
+            while anc >= 0 and lvl < depth:
+                cnt[anc, lvl] += 1
+                s_children[anc, lvl] += no_children[i]
+                s_idlen[anc, lvl] += id_len[i]
+                s_nclass[anc, lvl] += no_classes[i]
+                s_clslen[anc, lvl] += class_len[i]
+                s_txtlen[anc, lvl] += text_len[i]
+                # reference quirk: ' '.join over the class string's characters
+                l_classes[anc][lvl].append(" ".join(class_text[i]))
+                l_ids[anc][lvl].append(id_text[i])
+                l_tags[anc][lvl].append(tags[i])
+                anc = parent[anc]
+                lvl += 1
+
+        for lvl in range(depth):
+            c = cnt[:, lvl]
+            safe = np.where(c > 0, c, 1)
+            pre = f"descendant{lvl + 1}_"
+            df[pre + "no_nodes"] = c
+            df[pre + "no_children_avg"] = np.where(c > 0, s_children[:, lvl] / safe, 0.0)
+            df[pre + "id_len_avg"] = np.where(c > 0, s_idlen[:, lvl] / safe, 0.0)
+            df[pre + "no_classes_avg"] = np.where(c > 0, s_nclass[:, lvl] / safe, 0.0)
+            df[pre + "class_len_avg"] = np.where(c > 0, s_clslen[:, lvl] / safe, 0.0)
+            df[pre + "text_len_avg"] = np.where(c > 0, s_txtlen[:, lvl] / safe, 0.0)
+            df[pre + "classes"] = [",".join(l_classes[i][lvl]) for i in range(n)]
+            df[pre + "ids"] = [",".join(l_ids[i][lvl]) for i in range(n)]
+            df[pre + "tags"] = [",".join(l_tags[i][lvl]) for i in range(n)]
+
+    # ---- ancestor features -------------------------------------------------
+    if height > 0:
+        local_rows = list(
+            zip(
+                depth_arr.tolist(),
+                sibling_pos.tolist(),
+                tags,
+                no_classes.tolist(),
+                id_len.tolist(),
+                class_len.tolist(),
+                no_children.tolist(),
+                text_len.tolist(),
+                class_text,
+                id_text,
+            )
+        )
+        anc_idx = np.full((n, height), -1, dtype=np.int64)
+        for i in range(n):
+            a = parent[i]
+            for h in range(height):
+                if a < 0:
+                    break
+                anc_idx[i, h] = a
+                a = parent[a]
+        for h in range(height):
+            col_rows = [
+                local_rows[a] if (a := anc_idx[i, h]) >= 0 else _EMPTY_LOCAL
+                for i in range(n)
+            ]
+            pre = f"ancestor{h + 1}_"
+            for k, name in enumerate(LOCAL_COLUMNS):
+                vals = [r[k] for r in col_rows]
+                if name in ("tag", "class_text", "id_text"):
+                    df[pre + name] = vals
+                else:
+                    df[pre + name] = np.asarray(vals, dtype=np.int64)
+
+    df["path"] = [getpath(node) for node in nodes]
+    return df
+
+
+def extract_features_from_html(html: str, depth: int, height: int) -> pd.DataFrame:
+    """Parse (comments/PIs kept, as the reference's feature path does) and
+    extract the full feature frame."""
+    root = parse_html(html, remove_comments=False, remove_pis=False)
+    if root is None:
+        root = parse_html("<html><head></head><body></body></html>")
+    return extract_features_from_tree(root, depth, height)

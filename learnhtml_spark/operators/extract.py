@@ -1,0 +1,201 @@
+"""Spark operators: DOM parse → features → classify → ordered span output.
+
+The serving pipeline (reference lifecycle 3.1/3.3 re-expressed Spark-first):
+
+    spark.read (docs table: doc_id, spans)
+      → [optional] repartition(hash(doc_id) [+ salt])     # giant-page skew
+      → mapInPandas(parse + blockify + featurize + broadcast-model predict)
+      → ordered (doc_id, kind, text, media_ref, offset) span rows
+
+Design notes for 100 TB scale:
+- ONE mapInPandas stage does everything per document — no explode of parsed
+  nodes into a distributed table, no join between features and predictions,
+  zero shuffles in the default plan (scan → map → write).
+- The model is shipped once per executor via ``SparkContext.broadcast`` of
+  the serialized artifact; deserialized lazily per python worker.
+- Documents never split across partitions (rows are atomic), matching the
+  reference's partitioning unit (features.py:334) — skew from giant pages
+  is handled by salted repartition (``salt_partitions``) and by Arrow batch
+  sizing, not by splitting documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from learnhtml_spark.htmlparse import getpath, parse_html
+from learnhtml_spark.kernels.blockify import blocks_from_tree
+from learnhtml_spark.kernels.features import extract_features_from_tree
+from learnhtml_spark.kernels.labeling import (
+    NON_CONTENT_BLOCK_RATIO,
+    get_ratios_per_html,
+)
+from learnhtml_spark.model import NodeClassifier
+from learnhtml_spark.schemas import (
+    EXTRACTED_SPANS,
+    LABELS,
+    node_features_schema,
+)
+from learnhtml_spark.spans import assemble_output, html_from_spans, media_spans
+from learnhtml_spark.training import add_block_stats, block_stats_frame
+
+
+def _spans_list(value) -> list[dict]:
+    """Normalize an Arrow-transferred spans cell into a list of dicts."""
+    if value is None:
+        return []
+    out = []
+    for s in value:
+        if isinstance(s, dict):
+            out.append(s)
+        else:  # pyspark Row
+            out.append(s.asDict())
+    return out
+
+
+def repartition_docs(
+    docs: DataFrame, num_partitions: int, salt_buckets: int = 1
+) -> DataFrame:
+    """Salted doc-hash repartition: distributes giant-page skew by spreading
+    hash buckets over ``salt_buckets`` extra keys (SURVEY.md §4 — the one
+    distribution concern Catalyst does not solve for per-row compute skew)."""
+    if salt_buckets <= 1:
+        return docs.repartition(num_partitions, F.col("doc_id"))
+    salt = (F.abs(F.hash("doc_id", F.monotonically_increasing_id())) % salt_buckets)
+    return docs.repartition(num_partitions, F.col("doc_id"), salt)
+
+
+def extract_content_spans(
+    docs: DataFrame,
+    model: NodeClassifier | bytes,
+    depth: int = 5,
+    height: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The flagship operator: classify each document's blocks and emit the
+    ordered content+media span sequence."""
+    spark = docs.sparkSession
+    payload = model if isinstance(model, (bytes, bytearray)) else model.to_bytes()
+    bc = spark.sparkContext.broadcast(bytes(payload))
+
+    if num_partitions:
+        docs = repartition_docs(docs, num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        clf = NodeClassifier.from_bytes(bc.value)
+        cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans = _spans_list(spans)
+                html, boundaries = html_from_spans(spans)
+                media = media_spans(spans)
+                root = parse_html(html) if html else None
+                if root is None:
+                    rows.extend(
+                        assemble_output(doc_id, [], boundaries, media)
+                    )
+                    continue
+                blocks = blocks_from_tree(root, do_css=False)
+                content = []
+                if blocks:
+                    feats = extract_features_from_tree(root, depth, height)
+                    block_paths = [
+                        getpath(b.features["block_start_element"]) for b in blocks
+                    ]
+                    path_set = set(block_paths)
+                    bf = feats[feats["path"].isin(path_set)].reset_index(drop=True)
+                    bf = add_block_stats(bf, block_stats_frame(root))
+                    positive = set(
+                        bf["path"][np.asarray(clf.predict(bf), dtype=bool)]
+                    )
+                    content = [
+                        (b.text, b.features["block_start_element"].srcpos)
+                        for b, p in zip(blocks, block_paths)
+                        if p in positive
+                    ]
+                rows.extend(assemble_output(doc_id, content, boundaries, media))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=EXTRACTED_SPANS)
+
+
+def extract_node_features(
+    docs: DataFrame, depth: int = 5, height: int = 5
+) -> DataFrame:
+    """Per-node feature table (reference `dom` command, lifecycle 3.1):
+    one row per DOM node keyed by (doc_id, path)."""
+    schema = node_features_schema(depth, height)
+    names = schema.fieldNames()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = html_from_spans(_spans_list(spans))
+                root = parse_html(html) if html else None
+                if root is None:
+                    continue
+                f = extract_features_from_tree(root, depth, height)
+                f.insert(0, "doc_id", doc_id)
+                frames.append(f)
+            if frames:
+                out = pd.concat(frames, ignore_index=True)[names]
+            else:
+                out = pd.DataFrame(columns=names)
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+def label_documents(docs_with_gold: DataFrame) -> DataFrame:
+    """Labeling operator (reference lifecycle 3.2): input rows carry
+    (doc_id, spans, gold_blocks); output one row per node with the LCS
+    inclusion ratio and threshold labels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id",
+            "node_path",
+            "content_label",
+            "ratio",
+            "is_extracted_block",
+            "block_text",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans, gold in zip(
+                pdf["doc_id"], pdf["spans"], pdf["gold_blocks"]
+            ):
+                html, _ = html_from_spans(_spans_list(spans))
+                gold = list(gold) if gold is not None else []
+                for path, ratio, text in get_ratios_per_html(html, gold):
+                    rows.append(
+                        (
+                            doc_id,
+                            path,
+                            ratio > 0.1,
+                            float(ratio),
+                            ratio != NON_CONTENT_BLOCK_RATIO,
+                            text,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs_with_gold.mapInPandas(run, schema=LABELS)
+
+
+def docs_from_pairs(
+    spark: SparkSession, pairs: list[tuple[str, list[dict]]]
+) -> DataFrame:
+    """Small-data helper: build a docs DataFrame from (doc_id, spans)."""
+    from learnhtml_spark.schemas import DOCS
+
+    return spark.createDataFrame(
+        [(d, s) for d, s in pairs], schema=DOCS
+    )
