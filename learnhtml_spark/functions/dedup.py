@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines — exact, shingle
+Jaccard, MinHash+LSH and SimHash.  All expressed as DataFrame ops with
+portable hashing (md5) so a SQL oracle can replay them bit-for-bit.
+
+Scale notes (100 TB):
+- exact dedup = one hash-aggregate on the fingerprint (map-side combine).
+- ngram_jaccard is quadratic per shingle bucket — at scale the LSH path
+  (minhash_candidates) prunes candidates first; the plain Jaccard join is
+  the verification step over candidate pairs only.
+- all joins are equi-joins on hash keys → AQE-optimized shuffle joins;
+  the per-shingle fan-out is bounded by ``max_shingle_freq`` to cap skew
+  (a stop-shingle appearing in every doc would otherwise produce a
+  quadratic straggler partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from learnhtml_spark.functions.textstats import fingerprint, tokens
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the smallest doc_id per normalized-text fingerprint; report
+    group sizes (dup_count = 1 means unique)."""
+    fp = fingerprint(docs)
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word k-gram shingles per document."""
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    grams = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs by word-k-gram Jaccard similarity.
+
+    Self-join on shingle with doc_id_a < doc_id_b; shingles more frequent
+    than ``max_shingle_freq`` are dropped (skew cap — they contribute
+    little discrimination and quadratic work)."""
+    sh = shingles(docs, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_freq
+    )
+    sh_f = sh.join(freq_ok.select("shingle"), "shingle")
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """(doc_id, h, minhash) — minhash_j = min over shingles of
+    md5(j ':' shingle); md5 is the portable hash family (same in any SQL
+    engine), compared lexicographically on the hex string."""
+    sh = shingles(docs, k)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(num_hashes)),
+                lambda j: F.struct(
+                    j.alias("h"),
+                    F.md5(F.concat_ws(":", j.cast("string"), F.col("shingle"))).alias(
+                        "mh"
+                    ),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.h", "x.mh")
+    return hashed.groupBy("doc_id", "h").agg(F.min("mh").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 16, band_size: int = 4, k: int = 3
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the minhash signature are
+    candidate near-duplicates — (band, doc_a, doc_b) distinct pairs."""
+    sig = minhash_signatures(docs, num_hashes, k)
+    bands = sig.withColumn("band", ((F.col("h") - 1) / band_size).cast("int"))
+    band_key = bands.groupBy("doc_id", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list(F.col("minhash")))).alias(
+            "band_sig"
+        )
+    )
+    a = band_key.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = band_key.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — bit b of the signature is the sign of the sum of
+    (+1/-1) votes of bit b of each token's md5 (first bits/4 hex chars)."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tok = tok.withColumn("th", F.md5("tok"))
+    # nibble value of hex char at (1 + bit/4), then extract bit (bit % 4)
+    votes = (
+        tok.select(
+            "doc_id",
+            "th",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "nib",
+            F.conv(
+                F.col("th").substr((F.col("bit") / 4).cast("int") + 1, F.lit(1)),
+                16,
+                10,
+            ),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            F.when(
+                F.expr("(cast(nib as int) div cast(pow(2, bit % 4) as int)) % 2") == 1,
+                1,
+            )
+            .otherwise(-1)
+            .alias("vote"),
+        )
+    )
+    sig = (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+    return sig

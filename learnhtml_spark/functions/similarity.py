@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k neighbors — the correctness
+  baseline.  O(n²) dot products via built-in higher-order functions
+  (zip_with/aggregate — JVM-side, no Python).  At 100 TB scale this is the
+  verification step applied to candidate pairs only.
+- ``hyperplane_lsh_buckets`` / ``ann_lsh_topk``: the scale path — random
+  hyperplanes derived deterministically from md5 (portable to the SQL
+  oracle), sign-pattern bucketing, then exact cosine within buckets.
+  Bucket fan-out keeps the join linear-ish; recall is tunable via bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, sim,
+    rank); ties broken by neighbor_id; sim rounded for float-stable
+    comparison."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _plane_component(b, d):
+    """Deterministic pseudo-random plane component in [-7.5, 7.5]:
+    nibble(md5('b:d')) - 7.5 — reproducible in any engine with md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", b.cast("string"), d.cast("string"))), 1, 1),
+            16,
+            10,
+        ).cast("double")
+        - 7.5
+    )
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """(vec_id, bucket): sign pattern of ``bits`` deterministic hyperplane
+    projections.  Projections are rounded before the sign test so float
+    associativity cannot flip a bucket between engines."""
+    dims = F.size("embedding")
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda x, d: x.cast("double") * _plane_component(b, d),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            proj,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda p, b: F.when(
+                p > 0, F.pow(F.lit(2.0), b.cast("double")).cast("int")
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select("vec_id", bucket.alias("bucket"))
+
+
+def ann_lsh_topk(embeddings: DataFrame, bits: int = 6, k: int = 3) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within each LSH bucket."""
+    buckets = hyperplane_lsh_buckets(embeddings, bits)
+    e = embeddings.join(buckets, "vec_id")
+    a = e.select("bucket", F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select(
+        "bucket", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )

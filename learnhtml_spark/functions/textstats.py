@@ -1,0 +1,104 @@
+"""Text-analysis functions over a documents table — all built-in
+pyspark.sql.functions (JVM-side, whole-stage codegen; no Python UDFs).
+
+Each function takes/returns DataFrames; the equivalent ANSI-SQL oracles
+live in __spark_entry__.oracle_sql().  Numeric outputs are rounded so the
+driver's value-hash comparison is float-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small multilingual stopword sets for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens (empty text -> empty array) — kernel F2 analog."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def with_token_stats(docs: DataFrame) -> DataFrame:
+    """token_count, avg word length, punctuation & whitespace ratios,
+    stopword ratio — the quality-scoring feature set."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    text_len = F.length("text")
+    punct = text_len - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    spaces = text_len - F.length(F.regexp_replace("text", r"\s", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.cast("long").alias("token_count"),
+        F.round(
+            F.when(n_tok > 0, (text_len - spaces - punct) / n_tok).otherwise(0.0), 6
+        ).alias("avg_word_len"),
+        F.round(F.when(text_len > 0, punct / text_len).otherwise(0.0), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0), 6).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score + keep/drop flag (training-data filtering)."""
+    s = with_token_stats(docs)
+    score = (
+        F.when(F.col("token_count") >= 10, 0.4).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") > 0.05, 0.3).otherwise(0.0)
+        + F.when(
+            (F.col("avg_word_len") >= 2.5) & (F.col("avg_word_len") <= 10.0), 0.3
+        ).otherwise(0.0)
+    )
+    return s.select(
+        "doc_id",
+        "token_count",
+        F.round(score, 6).alias("quality"),
+        (score >= 0.7).alias("keep"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language guess; 'unknown' when no stopwords hit.
+    Deterministic tie-break by language code order."""
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+
+    def _score(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_score(ws).alias(f"score_{code}") for code, ws in STOPWORDS.items()],
+    )
+    codes = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{c}") for c in codes])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for c in codes:
+        pred = pred.when(F.col(f"score_{c}") == best, F.lit(c))
+    return scored.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (kernel F1-style normalization, exact-dup key)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len")
+    )

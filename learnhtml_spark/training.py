@@ -88,17 +88,43 @@ def add_block_stats(feats, stats: dict) -> "object":
     return out
 
 
+def build_training_pair_exact(
+    html: str, content_texts: list[str], depth: int = 5, height: int = 5
+):
+    """(block_feature_frame, labels) where a block is positive iff its text
+    is one of ``content_texts`` — exact labeling for synthetic pages whose
+    ground-truth content is known by construction (no LCS needed)."""
+    root = parse_html(html, remove_comments=False, remove_pis=False)
+    feats = extract_features_from_tree(root, depth, height)
+    blocks = blocks_from_tree(root, do_css=False)
+    want = set(content_texts)
+    label_by_path = {}
+    for b in blocks:
+        p = getpath(b.features["block_start_element"])
+        label_by_path[p] = 1 if b.text in want else 0
+    feats = feats[feats["path"].isin(label_by_path)].reset_index(drop=True)
+    feats = add_block_stats(feats, block_stats_frame(root))
+    y = np.asarray([label_by_path[p] for p in feats["path"]], dtype=np.int64)
+    return feats, y
+
+
 def train(
     docs: list[tuple[str, list[str]]],
     depth: int = 5,
     height: int = 5,
     blocks_only: bool = True,
+    exact_docs: list[tuple[str, list[str]]] = (),
     **fit_kw,
 ) -> NodeClassifier:
-    """Fit the classifier on (html, gold_blocks) document pairs."""
+    """Fit the classifier on LCS-labeled (html, gold_blocks) pairs plus
+    optional exactly-labeled (html, content_texts) pairs."""
     frames, labels = [], []
     for html, gold in docs:
         f, y = build_training_pair(html, gold, depth, height, blocks_only)
+        frames.append(f)
+        labels.append(y)
+    for html, texts in exact_docs:
+        f, y = build_training_pair_exact(html, texts, depth, height)
         frames.append(f)
         labels.append(y)
     return NodeClassifier.fit(frames, labels, **fit_kw)
