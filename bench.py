@@ -1,0 +1,120 @@
+"""Benchmark harness (driver-run per round; also the scaling evidence).
+
+Runs the flagship extraction pipeline over the interleaved-span corpus
+synthesized from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) at two
+parallelism levels — local[N_SMALL] and local[$SPARK_GRAFT_CPUS] — on the
+same input, reporting docs/sec at both plus scaling efficiency
+(the sandbox rendition of the north rule's N vs 4N executor criterion),
+then times every oracle-checked query at full parallelism.
+
+All timings use a noop sink (full materialization, no driver collect, no
+Catalyst short-circuit via count()).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <extraction wall sec at full parallelism>,
+   "unit": "sec", "queries": {name: sec}, "sf": ...,
+   "docs_per_sec": {"local8": X, "local32": Y},
+   "scaling_efficiency": (Y/X)/(32/8), ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SMALL = max(CPUS // 4, 1)
+
+# parse sf from the dir name when possible
+try:
+    SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+except ValueError:
+    SF = -1.0
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores * 2))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .getOrCreate()
+    )
+
+
+def noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_extraction(spark, cores: int) -> tuple[float, int]:
+    """Returns (wall_sec, n_docs) for the end-to-end extraction pipeline."""
+    import __spark_entry__ as E
+    from learnhtml_spark.corpus import synthesize_docs
+    from learnhtml_spark.operators.extract import extract_content_spans
+
+    documents = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = documents.count()
+    docs = synthesize_docs(documents.repartition(cores * 4, "doc_id"))
+    pipeline = extract_content_spans(docs, E._model_bytes())
+    t0 = time.time()
+    noop_write(pipeline)
+    return time.time() - t0, n_docs
+
+
+def main():
+    import __spark_entry__ as E
+
+    result = {
+        "metric": "end-to-end extraction wall sec (full parallelism) on "
+                  "interleaved-span corpus",
+        "unit": "sec",
+        "sf": SF,
+        "sf_dir": SF_DIR,
+        "docs_per_sec": {},
+        "wall_sec": {},
+    }
+
+    # --- scaling runs: small parallelism first, then full -----------------
+    for cores in (SMALL, CPUS):
+        spark = make_session(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        # warmup: JVM/codegen/parquet-footer costs out of the measurement
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+        run_extraction(spark, cores)  # warm run (short-circuit JIT, Arrow)
+        wall, n_docs = run_extraction(spark, cores)
+        result["docs_per_sec"][f"local{cores}"] = round(n_docs / wall, 2)
+        result["wall_sec"][f"local{cores}"] = round(wall, 2)
+        if cores == CPUS:
+            result["value"] = round(wall, 3)
+            result["n_docs"] = n_docs
+            # --- per-query timings at full parallelism -------------------
+            queries = {}
+            for name, fn in E.queries().items():
+                t0 = time.time()
+                try:
+                    noop_write(fn(spark, SF_DIR))
+                    queries[name] = round(time.time() - t0, 3)
+                except Exception as e:  # pragma: no cover
+                    queries[name] = f"error: {e}"
+            result["queries"] = queries
+        spark.stop()
+
+    t_small = result["docs_per_sec"][f"local{SMALL}"]
+    t_full = result["docs_per_sec"][f"local{CPUS}"]
+    result["scaling_efficiency"] = round((t_full / t_small) / (CPUS / SMALL), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

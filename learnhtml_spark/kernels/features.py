@@ -82,8 +82,22 @@ def feature_columns(depth: int, height: int) -> list[str]:
     )
 
 
-def extract_features_from_tree(root: Element, depth: int, height: int) -> pd.DataFrame:
-    """Feature frame for all nodes of a parsed tree, document order."""
+def extract_features_from_tree(
+    root: Element,
+    depth: int,
+    height: int,
+    select_nodes=None,
+    as_columns: bool = False,
+) -> pd.DataFrame:
+    """Feature frame for the nodes of a parsed tree, document order.
+
+    ``select_nodes`` (optional set of Element identities, ``id(el)``)
+    restricts the OUTPUT rows (e.g. block-start nodes only for the serving
+    path) — every feature is still computed over the whole tree, so values
+    are identical to the full frame; only row assembly is skipped.
+    ``as_columns`` returns the raw {column: array/list} dict instead of a
+    DataFrame so callers can concatenate many documents into one frame
+    (per-doc DataFrame construction dominates the profile otherwise)."""
     nodes = list(root.iter())
     n = len(nodes)
     index = {id(node): i for i, node in enumerate(nodes)}
@@ -130,19 +144,35 @@ def extract_features_from_tree(root: Element, depth: int, height: int) -> pd.Dat
         text_len[i] = total
     text_len = np.where(is_element, text_len, 0)
 
+    if select_nodes is None:
+        keep = None
+        kept = list(range(n))
+    else:
+        keep = np.fromiter(
+            (id(node) in select_nodes for node in nodes), dtype=bool, count=n
+        )
+        kept = [i for i in range(n) if keep[i]]
+
+    def col_num(arr):
+        return arr if keep is None else arr[keep]
+
+    def col_str(lst):
+        return lst if keep is None else [lst[i] for i in kept]
+
+    # accumulate every column into one dict and build the frame once at the
+    # end — per-column DataFrame.__setitem__ dominates the profile otherwise
     data = {
-        "depth": depth_arr,
-        "sibling_pos": sibling_pos,
-        "tag": tags,
-        "no_classes": no_classes,
-        "id_len": id_len,
-        "class_len": class_len,
-        "no_children": no_children,
-        "text_len": text_len,
-        "class_text": class_text,
-        "id_text": id_text,
+        "depth": col_num(depth_arr),
+        "sibling_pos": col_num(sibling_pos),
+        "tag": col_str(tags),
+        "no_classes": col_num(no_classes),
+        "id_len": col_num(id_len),
+        "class_len": col_num(class_len),
+        "no_children": col_num(no_children),
+        "text_len": col_num(text_len),
+        "class_text": col_str(class_text),
+        "id_text": col_str(id_text),
     }
-    df = pd.DataFrame(data, columns=LOCAL_COLUMNS)
 
     # ---- descendant aggregates --------------------------------------------
     if depth > 0:
@@ -168,10 +198,11 @@ def extract_features_from_tree(root: Element, depth: int, height: int) -> pd.Dat
                 s_nclass[anc, lvl] += no_classes[i]
                 s_clslen[anc, lvl] += class_len[i]
                 s_txtlen[anc, lvl] += text_len[i]
-                # reference quirk: ' '.join over the class string's characters
-                l_classes[anc][lvl].append(" ".join(class_text[i]))
-                l_ids[anc][lvl].append(id_text[i])
-                l_tags[anc][lvl].append(tags[i])
+                if keep is None or keep[anc]:
+                    # reference quirk: ' '.join over the class string's chars
+                    l_classes[anc][lvl].append(" ".join(class_text[i]))
+                    l_ids[anc][lvl].append(id_text[i])
+                    l_tags[anc][lvl].append(tags[i])
                 anc = parent[anc]
                 lvl += 1
 
@@ -179,15 +210,23 @@ def extract_features_from_tree(root: Element, depth: int, height: int) -> pd.Dat
             c = cnt[:, lvl]
             safe = np.where(c > 0, c, 1)
             pre = f"descendant{lvl + 1}_"
-            df[pre + "no_nodes"] = c
-            df[pre + "no_children_avg"] = np.where(c > 0, s_children[:, lvl] / safe, 0.0)
-            df[pre + "id_len_avg"] = np.where(c > 0, s_idlen[:, lvl] / safe, 0.0)
-            df[pre + "no_classes_avg"] = np.where(c > 0, s_nclass[:, lvl] / safe, 0.0)
-            df[pre + "class_len_avg"] = np.where(c > 0, s_clslen[:, lvl] / safe, 0.0)
-            df[pre + "text_len_avg"] = np.where(c > 0, s_txtlen[:, lvl] / safe, 0.0)
-            df[pre + "classes"] = [",".join(l_classes[i][lvl]) for i in range(n)]
-            df[pre + "ids"] = [",".join(l_ids[i][lvl]) for i in range(n)]
-            df[pre + "tags"] = [",".join(l_tags[i][lvl]) for i in range(n)]
+            data[pre + "no_nodes"] = col_num(c)
+            data[pre + "no_children_avg"] = col_num(
+                np.where(c > 0, s_children[:, lvl] / safe, 0.0)
+            )
+            data[pre + "id_len_avg"] = col_num(np.where(c > 0, s_idlen[:, lvl] / safe, 0.0))
+            data[pre + "no_classes_avg"] = col_num(
+                np.where(c > 0, s_nclass[:, lvl] / safe, 0.0)
+            )
+            data[pre + "class_len_avg"] = col_num(
+                np.where(c > 0, s_clslen[:, lvl] / safe, 0.0)
+            )
+            data[pre + "text_len_avg"] = col_num(
+                np.where(c > 0, s_txtlen[:, lvl] / safe, 0.0)
+            )
+            data[pre + "classes"] = [",".join(l_classes[i][lvl]) for i in kept]
+            data[pre + "ids"] = [",".join(l_ids[i][lvl]) for i in kept]
+            data[pre + "tags"] = [",".join(l_tags[i][lvl]) for i in kept]
 
     # ---- ancestor features -------------------------------------------------
     if height > 0:
@@ -205,29 +244,31 @@ def extract_features_from_tree(root: Element, depth: int, height: int) -> pd.Dat
                 id_text,
             )
         )
-        anc_idx = np.full((n, height), -1, dtype=np.int64)
-        for i in range(n):
+        anc_idx = np.full((len(kept), height), -1, dtype=np.int64)
+        for row, i in enumerate(kept):
             a = parent[i]
             for h in range(height):
                 if a < 0:
                     break
-                anc_idx[i, h] = a
+                anc_idx[row, h] = a
                 a = parent[a]
         for h in range(height):
             col_rows = [
-                local_rows[a] if (a := anc_idx[i, h]) >= 0 else _EMPTY_LOCAL
-                for i in range(n)
+                local_rows[a] if (a := anc_idx[row, h]) >= 0 else _EMPTY_LOCAL
+                for row in range(len(kept))
             ]
             pre = f"ancestor{h + 1}_"
             for k, name in enumerate(LOCAL_COLUMNS):
                 vals = [r[k] for r in col_rows]
                 if name in ("tag", "class_text", "id_text"):
-                    df[pre + name] = vals
+                    data[pre + name] = vals
                 else:
-                    df[pre + name] = np.asarray(vals, dtype=np.int64)
+                    data[pre + name] = np.asarray(vals, dtype=np.int64)
 
-    df["path"] = [getpath(node) for node in nodes]
-    return df
+    data["path"] = [getpath(nodes[i]) for i in kept]
+    if as_columns:
+        return data
+    return pd.DataFrame(data, columns=feature_columns(depth, height))
 
 
 def extract_features_from_html(html: str, depth: int, height: int) -> pd.DataFrame:

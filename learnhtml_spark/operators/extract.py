@@ -87,38 +87,76 @@ def extract_content_spans(
         docs = repartition_docs(docs, num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
+        from learnhtml_spark.kernels.features import feature_columns
+        from learnhtml_spark.training import BLOCK_STAT_COLUMNS, block_stats_list
+
         clf = NodeClassifier.from_bytes(bc.value)
         cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+        feat_cols = feature_columns(depth, height)
         for pdf in batches:
-            rows = []
+            # phase 1: parse + blockify + featurize every doc in the batch;
+            # features collected as raw column dicts (one pandas frame is
+            # built per BATCH, not per doc — construction cost dominates
+            # otherwise)
+            parsed = []  # (doc_id, blocks, block_paths, boundaries, media)
+            col_dicts = []
+            doc_keys = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 spans = _spans_list(spans)
                 html, boundaries = html_from_spans(spans)
                 media = media_spans(spans)
                 root = parse_html(html) if html else None
-                if root is None:
-                    rows.extend(
-                        assemble_output(doc_id, [], boundaries, media)
-                    )
-                    continue
-                blocks = blocks_from_tree(root, do_css=False)
-                content = []
+                blocks = blocks_from_tree(root, do_css=False) if root is not None else []
+                block_paths = [
+                    getpath(b.features["block_start_element"]) for b in blocks
+                ]
+                parsed.append((doc_id, blocks, block_paths, boundaries, media))
                 if blocks:
-                    feats = extract_features_from_tree(root, depth, height)
-                    block_paths = [
-                        getpath(b.features["block_start_element"]) for b in blocks
-                    ]
-                    path_set = set(block_paths)
-                    bf = feats[feats["path"].isin(path_set)].reset_index(drop=True)
-                    bf = add_block_stats(bf, block_stats_frame(root))
-                    positive = set(
-                        bf["path"][np.asarray(clf.predict(bf), dtype=bool)]
+                    starts = {
+                        id(b.features["block_start_element"]) for b in blocks
+                    }
+                    d = extract_features_from_tree(
+                        root, depth, height, select_nodes=starts, as_columns=True
                     )
-                    content = [
-                        (b.text, b.features["block_start_element"].srcpos)
-                        for b, p in zip(blocks, block_paths)
-                        if p in positive
-                    ]
+                    stats = block_stats_list(blocks)
+                    for name, vals in zip(
+                        BLOCK_STAT_COLUMNS,
+                        zip(*(stats.get(p, None) or [0.0] * len(BLOCK_STAT_COLUMNS)
+                              for p in d["path"])),
+                    ):
+                        d[name] = np.asarray(vals, dtype=np.float64)
+                    col_dicts.append(d)
+                    doc_keys.extend([doc_id] * len(d["path"]))
+
+            # phase 2: ONE vectorized model call for the whole Arrow batch
+            positive_by_doc: dict = {}
+            if col_dicts:
+                merged = {}
+                for k in feat_cols + BLOCK_STAT_COLUMNS:
+                    first = col_dicts[0][k]
+                    if isinstance(first, np.ndarray):
+                        merged[k] = np.concatenate([d[k] for d in col_dicts])
+                    else:
+                        merged[k] = list(chain.from_iterable(d[k] for d in col_dicts))
+                allbf = pd.DataFrame(merged, columns=feat_cols + BLOCK_STAT_COLUMNS)
+                pred = np.asarray(clf.predict(allbf), dtype=bool)
+                for d, p in zip(
+                    np.asarray(doc_keys, dtype=object)[pred],
+                    np.asarray(merged["path"], dtype=object)[pred],
+                ):
+                    positive_by_doc.setdefault(d, set()).add(p)
+
+            # phase 3: assemble ordered output spans per doc
+            rows = []
+            for doc_id, blocks, block_paths, boundaries, media in parsed:
+                positive = positive_by_doc.get(doc_id, set())
+                content = [
+                    (b.text, b.features["block_start_element"].srcpos)
+                    for b, p in zip(blocks, block_paths)
+                    if p in positive
+                ]
                 rows.extend(assemble_output(doc_id, content, boundaries, media))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -35,8 +35,12 @@ BLOCK_STAT_COLUMNS = [
 
 def block_stats_frame(root) -> dict[str, list[float]]:
     """Per block-start-path stats from the blockifier."""
+    return block_stats_list(blocks_from_tree(root, do_css=False))
+
+
+def block_stats_list(blocks) -> dict[str, list[float]]:
+    """Per block-start-path stats for an already-computed block list."""
     stats = {}
-    blocks = blocks_from_tree(root, do_css=False)
     for k, b in enumerate(blocks):
         path = getpath(b.features["block_start_element"])
         f = b.features

@@ -1,0 +1,106 @@
+"""Checkpoint-resume lineage sink, streaming wrapper, multimodal plumbing."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from pyspark.sql import functions as F
+
+from learnhtml_spark.spans import split_html_to_spans
+
+
+def _pairs(fixture_docs):
+    return [
+        (name, split_html_to_spans(html, n_chunks=4, media_refs=[f"media://{name}.jpg"]))
+        for name, html, _ in fixture_docs
+    ]
+
+
+def test_write_extraction_run_resume(spark, fixture_docs, fixture_model, tmp_path):
+    from learnhtml_spark.operators.extract import docs_from_pairs
+    from learnhtml_spark.sources.tables import (
+        completed_buckets,
+        read_lineage,
+        write_extraction_run,
+    )
+
+    docs = docs_from_pairs(spark, _pairs(fixture_docs))
+    base = str(tmp_path / "out")
+    mb = fixture_model.to_bytes()
+
+    # first call: limited to 3 buckets (simulates an interrupted run)
+    r1 = write_extraction_run(docs, mb, base, "run1", num_buckets=8,
+                              max_buckets_per_call=3)
+    assert len(r1["processed_buckets"]) == 3
+    assert completed_buckets(spark, base, "run1") == set(r1["processed_buckets"])
+
+    # resume: processes the remaining buckets, skips the done ones
+    r2 = write_extraction_run(docs, mb, base, "run1", num_buckets=8)
+    assert set(r2["skipped_buckets"]) == set(r1["processed_buckets"])
+    assert set(r2["processed_buckets"]) == set(range(8)) - set(r1["processed_buckets"])
+
+    # idempotent: third call is a no-op
+    r3 = write_extraction_run(docs, mb, base, "run1", num_buckets=8)
+    assert r3["processed_buckets"] == []
+
+    # landed data covers all docs exactly once, lineage accounts all buckets
+    spans = spark.read.parquet(os.path.join(base, "spans"))
+    assert spans.select("doc_id").distinct().count() == len(fixture_docs)
+    lin = read_lineage(spark, base)
+    assert lin.filter(F.col("status") == "ok").select("bucket").distinct().count() == 8
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == len(fixture_docs)
+
+
+def test_stream_extract_available_now(spark, fixture_docs, fixture_model, tmp_path):
+    from learnhtml_spark.operators.extract import docs_from_pairs
+    from learnhtml_spark.streaming.extract_stream import stream_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pairs = _pairs(fixture_docs)
+    docs_from_pairs(spark, pairs[:2]).write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt, fixture_model.to_bytes())
+    q.awaitTermination(300)
+    first = spark.read.parquet(out_dir)
+    assert first.select("doc_id").distinct().count() == 2
+
+    # new file arrives; restart with same checkpoint processes ONLY it
+    docs_from_pairs(spark, pairs[2:]).write.mode("append").parquet(in_dir)
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, fixture_model.to_bytes())
+    q2.awaitTermination(300)
+    final = spark.read.parquet(out_dir)
+    assert final.select("doc_id").distinct().count() == len(pairs)
+    # exactly-once: no doc duplicated across restarts
+    per_doc = final.groupBy("doc_id", "offset").count()
+    assert per_doc.filter(F.col("count") > 1).count() == 0
+
+
+def test_media_features_plumbing(spark):
+    from learnhtml_spark.operators.multimodal import media_features
+
+    df = spark.createDataFrame(
+        [("media://img/a.jpg",), ("media://vid/b.mp4",), ("x.flac",)],
+        ["media_ref"],
+    )
+    out = media_features(df, deterministic_fake=True).collect()
+    by_ref = {r.media_ref: r for r in out}
+    assert by_ref["media://img/a.jpg"].media_type == "image"
+    assert by_ref["media://img/a.jpg"].n_frames == 1
+    assert by_ref["media://vid/b.mp4"].media_type == "video"
+    assert by_ref["x.flac"].media_type == "audio"
+    assert all(len(r.thumbnail) == 32 for r in out)
+    # deterministic across invocations
+    again = {r.media_ref: r for r in media_features(df, True).collect()}
+    assert all(again[k].content_digest == v.content_digest for k, v in by_ref.items())
+
+
+def test_media_decode_stub_raises(spark):
+    import pytest
+
+    from learnhtml_spark.operators.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub("a.jpg", None, deterministic_fake=False)
