@@ -95,6 +95,21 @@ def language_id(docs: DataFrame) -> DataFrame:
     return scored.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
+def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Fully-qualified domain of a URL column (reference F8,
+    features.py:289-292) — built-in parse_url, JVM-side."""
+    return df.withColumn("domain", F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def grouped_shuffle(df: DataFrame, group_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Group-preserving shuffle (reference O1, utils/general.py:45-59):
+    rows of the same group stay contiguous, group order is randomized
+    deterministically — expressed as a repartition+sort on a seeded group
+    hash, which is how the semantics distribute (no driver-side argsort)."""
+    h = F.xxhash64(F.col(group_col), F.lit(seed))
+    return df.repartition(F.col(group_col)).sortWithinPartitions(h, F.col(group_col))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (kernel F1-style normalization, exact-dup key)."""

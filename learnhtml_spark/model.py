@@ -206,7 +206,9 @@ class NodeClassifier:
         )
         if self.gbdt is not None:
             payload.update(self.gbdt.to_arrays())
-        np.savez_compressed(buf, **payload)
+        # uncompressed: executors deserialize this per worker; load speed
+        # matters more than a few hundred KB of broadcast size
+        np.savez(buf, **payload)
         return buf.getvalue()
 
     @classmethod
@@ -219,7 +221,7 @@ class NodeClassifier:
                 z["scale"],
                 float(z["threshold"]),
             )
-            if "n_trees" in z:
+            if "tree_sizes" in z:
                 from learnhtml_spark.gbdt import GBDTClassifier
 
                 model.gbdt = GBDTClassifier.from_arrays(z)

@@ -45,6 +45,21 @@ from learnhtml_spark.spans import assemble_output, html_from_spans, media_spans
 from learnhtml_spark.training import add_block_stats, block_stats_frame
 
 
+#: per-python-worker deserialized model cache (workers handle many tasks;
+#: deserializing the broadcast payload once per task measurably dominated
+#: the UDF at high parallelism)
+_MODEL_CACHE: dict = {}
+
+
+def _load_model(key, payload: bytes) -> NodeClassifier:
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = NodeClassifier.from_bytes(payload)
+        _MODEL_CACHE.clear()  # keep at most one model resident per worker
+        _MODEL_CACHE[key] = model
+    return model
+
+
 def _spans_list(value) -> list[dict]:
     """Normalize an Arrow-transferred spans cell into a list of dicts."""
     if value is None:
@@ -81,7 +96,9 @@ def extract_content_spans(
     ordered content+media span sequence."""
     spark = docs.sparkSession
     payload = model if isinstance(model, (bytes, bytearray)) else model.to_bytes()
-    bc = spark.sparkContext.broadcast(bytes(payload))
+    payload = bytes(payload)
+    bc = spark.sparkContext.broadcast(payload)
+    model_key = ("model", len(payload), hash(payload[:512]), hash(payload[-512:]))
 
     if num_partitions:
         docs = repartition_docs(docs, num_partitions)
@@ -92,7 +109,7 @@ def extract_content_spans(
         from learnhtml_spark.kernels.features import feature_columns
         from learnhtml_spark.training import BLOCK_STAT_COLUMNS, block_stats_list
 
-        clf = NodeClassifier.from_bytes(bc.value)
+        clf = _load_model(model_key, bc.value)
         cols = ["doc_id", "kind", "text", "media_ref", "offset"]
         feat_cols = feature_columns(depth, height)
         for pdf in batches:
