@@ -254,7 +254,10 @@ _START_CLOSE = {
     "ul": {"address", "dir", "listing", "menu", "ol", "p", "pre", "xmp", "head"},
     "var": {"head"},
     "xmp": {"p", "head"},
-    "body": {"head"},
+    # these run their autoclose even when the tag itself is then discarded
+    # as misplaced (observed: '0<head>0' closes the implied <p>)
+    "head": {"p"},
+    "body": {"head", "style", "link", "meta", "script", "title", "p"},
 }
 
 _RAWTEXT = frozenset(["script", "style"])
@@ -281,10 +284,17 @@ _END_PRIORITY = {
 _ENTITIES = dict(name2codepoint)
 _ENTITIES["apos"] = 39
 
+#: characters the recovering parser drops from text content (invalid in
+#: HTML: C0 controls except \t \n \r, plus U+FFFE/FFFF and surrogates);
+#: attribute values keep them — matching libxml2's reader behavior
+_RE_INVALID_TEXT = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f￾￿\ud800-\udfff]"
+)
+
 _RE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
 _RE_ATTR_NAME = re.compile(r"[a-zA-Z_:][a-zA-Z0-9._:-]*")
 _RE_ENTITY = re.compile(r"&(?:([a-zA-Z][a-zA-Z0-9]*);|#[xX]([0-9a-fA-F]+);|#([0-9]+);)")
-_RE_UNQUOTED = re.compile(r"[^ \t\n\r\f\v><]*")
+_RE_UNQUOTED = re.compile(r"[^ \t\n\r\f\v>]*")
 _RE_WS_SKIP = re.compile(r"[ \t\n\r\f\v]*")
 _RE_DOCTYPE = re.compile(r"<!doctype", re.IGNORECASE)
 
@@ -339,6 +349,10 @@ class _TreeBuilder:
         "remove_comments",
         "remove_pis",
         "pos",
+        "saw_doctype",
+        "left_prolog",
+        "head_ever",
+        "body_ever",
     )
 
     def __init__(self, remove_comments: bool, remove_pis: bool):
@@ -349,6 +363,15 @@ class _TreeBuilder:
         self.remove_comments = remove_comments
         self.remove_pis = remove_pis
         self.pos = 0  # source char offset of the token being handled
+        self.saw_doctype = False
+        #: True once any markup token (even a bogus one) was seen — the
+        #: prolog's leading-blank skipping stops at that point
+        self.left_prolog = False
+        # "ever seen" flags gate IMPLIED head/body creation permanently;
+        # html_state gates the discard of explicit tags and is re-armed by
+        # an explicit </head>/</body>
+        self.head_ever = False
+        self.body_ever = False
 
     # -- element plumbing --------------------------------------------------
     def _attach(self, el: Element):
@@ -386,21 +409,32 @@ class _TreeBuilder:
         if tag in ("body", "head"):
             return
         if len(self.stack) <= 1 and tag in _HEAD_CONTENT:
-            if self.html_state >= 3:
+            if self.head_ever:
                 return
             self._push_new("head")
+            self.head_ever = True
             self.html_state = 3
         elif tag not in _NO_BODY_IMPLY:
-            if self.html_state >= 10:
+            if self.body_ever:
                 return
             for el in self.stack:
                 # inside an open head (or body) nothing implies a <body>
                 if el.tag in ("body", "head"):
                     return
             self._push_new("body")
+            self.body_ever = True
             self.html_state = 10
 
     def start(self, tag: str, attrib: dict, self_closing: bool):
+        # auto-closure runs even for starts that are then discarded as
+        # misplaced (a late <head>/<body> still closes an open <p>)
+        self._auto_close(tag)
+
+        if not self.stack and self.root is not None and self.saw_doctype:
+            # with a DTD present, elements after the root closed are
+            # discarded rather than re-opening a container (observed)
+            return
+
         if tag == "html" and self.stack:
             self.discard_depth += 1
             return
@@ -411,13 +445,14 @@ class _TreeBuilder:
             self.discard_depth += 1
             return
 
-        self._auto_close(tag)
         self._check_implied(tag)
 
         if tag == "head":
             self.html_state = max(self.html_state, 3)
+            self.head_ever = True
         elif tag == "body":
             self.html_state = 10
+            self.body_ever = True
 
         el = Element(tag, attrib, srcpos=self.pos)
         if tag == "html" and self.root is None and not self.stack:
@@ -439,6 +474,11 @@ class _TreeBuilder:
             cur = self.stack[i].tag
             if cur == tag:
                 del self.stack[i:]
+                if tag in ("head", "body"):
+                    # an explicitly closed head/body re-arms acceptance of
+                    # a later <head>/<body> (observed: spammy multi-body
+                    # pages get sibling body elements)
+                    self.html_state = 0
                 return
             if _END_PRIORITY.get(cur, 100) > prio:
                 return
@@ -447,7 +487,15 @@ class _TreeBuilder:
     def text(self, s: str):
         if not self.stack:
             if not s.strip(" \t\n\r\f\v"):
-                return  # doc-level blanks are dropped
+                return  # doc-level blank runs are always dropped
+            if not self.left_prolog:
+                # prolog blanks are skipped even as a prefix of the text
+                # run that opens the implied content
+                s = s.lstrip(" \t\n\r\f\v")
+            if self.root is not None and self.saw_doctype:
+                # with a DTD present, stray doc-level text after the root
+                # is discarded (observed libxml2 recovery)
+                return
             if self.root is None:
                 # implied <p> (libxml2's htmlCheckParagraph with empty stack)
                 self._auto_close("p")
@@ -466,6 +514,20 @@ class _TreeBuilder:
                 self._check_implied("p")
                 self._push_new("p")
         node = self.stack[-1]
+        if node._children:
+            last = node._children[-1]
+            last.tail = s if last.tail is None else last.tail + s
+        else:
+            node.text = s if node.text is None else node.text + s
+
+    def raw_text(self, s: str):
+        """Error-recovery text (a bogus '<'): appended verbatim at the
+        current insertion point with NO implied-element or blank handling
+        (libxml2 emits these through a different path than char data)."""
+        if self.stack:
+            node = self.stack[-1]
+        else:
+            return  # recovery text with no open element is dropped
         if node._children:
             last = node._children[-1]
             last.tail = s if last.tail is None else last.tail + s
@@ -505,8 +567,17 @@ def parse_html(
 
     def flush_text():
         if pending_text:
-            b.text(_decode_entities("".join(pending_text)))
+            t = _RE_INVALID_TEXT.sub("", _decode_entities("".join(pending_text)))
+            if t:
+                b.text(t)
             pending_text.clear()
+
+    def in_prolog():
+        """Before any root/content exists a bogus '<' is dropped entirely
+        (libxml2's prolog scanning), not emitted as text."""
+        return b.root is None and not any(
+            t.strip(" \t\n\r\f\v") for t in pending_text
+        )
 
     while i < n:
         lt = s.find("<", i)
@@ -524,17 +595,23 @@ def parse_html(
                 end = s.find("-->", i + 4)
                 flush_text()
                 if end < 0:
-                    b.comment(s[i + 4 :])
+                    b.comment(_RE_INVALID_TEXT.sub("", s[i + 4 :]))
                     i = n
                 else:
-                    b.comment(s[i + 4 : end])
+                    b.comment(_RE_INVALID_TEXT.sub("", s[i + 4 : end]))
                     i = end + 3
             elif _RE_DOCTYPE.match(s, i):
                 end = s.find(">", i)
                 i = n if end < 0 else end + 1
+                b.saw_doctype = True
             else:
-                # '<!' that is neither comment nor doctype: '<' is text
-                pending_text.append("<")
+                # '<!' that is neither comment nor doctype: the '<' is
+                # emitted as recovery text (dropped in the prolog); the
+                # flush always happens so text runs never span markup
+                flush_text()
+                if not in_prolog():
+                    b.raw_text("<")
+                b.left_prolog = True
                 i += 1
         elif nxt == "?":
             end = s.find(">", i + 2)
@@ -542,7 +619,10 @@ def parse_html(
             m = _RE_NAME.match(raw)
             flush_text()
             if m:
-                b.pi(m.group(0), raw[m.end() :].lstrip(" \t\n\r\f\v"))
+                b.pi(
+                    m.group(0),
+                    _RE_INVALID_TEXT.sub("", raw[m.end() :].lstrip(" \t\n\r\f\v")),
+                )
             i = n if end < 0 else end + 1
         elif nxt == "/":
             m = _RE_NAME.match(s, i + 2)
@@ -550,11 +630,14 @@ def parse_html(
                 tag = m.group(0).lower()
                 end = s.find(">", m.end())
                 flush_text()
+                b.left_prolog = True
                 b.end(tag)
                 i = n if end < 0 else end + 1
             else:
-                end = s.find(">", i + 2)
-                i = n if end < 0 else end + 1
+                # '</' followed by a non-name char: exactly the two chars
+                # are discarded; the rest (including any '>') stays text
+                flush_text()
+                i += 2
         elif nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):
             m = _RE_NAME.match(s, i + 1)
             tag = m.group(0).lower()
@@ -576,16 +659,15 @@ def parse_html(
                     self_closing = True
                     closed = True
                     break
-                if c == "<":
-                    closed = True  # tag ends; '<' reprocessed as next token
-                    break
                 am = _RE_ATTR_NAME.match(s, j)
                 if not am:
-                    # invalid attribute junk: skip to tag end
-                    end = s.find(">", j)
-                    j = n if end < 0 else end + 1
-                    closed = True
-                    break
+                    # bogus attribute: skip up to the next blank or tag end,
+                    # then continue scanning attributes (libxml2 recovery)
+                    while j < n and s[j] not in " \t\n\r\f\v>" and not (
+                        s[j] == "/" and j + 1 < n and s[j + 1] == ">"
+                    ):
+                        j += 1
+                    continue
                 aname = am.group(0).lower()
                 j = _RE_WS_SKIP.match(s, am.end()).end()
                 if j < n and s[j] == "=":
@@ -609,20 +691,64 @@ def parse_html(
                 if aname not in attrib:
                     attrib[aname] = aval
             flush_text()
+            b.left_prolog = True
             b.start(tag, attrib, self_closing)
             i = j if closed or j >= n else j
             if tag in _RAWTEXT and not self_closing and b.stack and b.stack[-1].tag == tag:
-                # CDATA mode: consume raw text until matching end tag
-                # (recovery semantics: only '</script'/'</style' terminates)
-                low = s.lower()
-                endpos = low.find("</" + tag, i)
-                raw = s[i:] if endpos < 0 else s[i:endpos]
-                if raw:
-                    el = b.stack[-1]
-                    el.text = raw if el.text is None else el.text + raw
-                i = n if endpos < 0 else endpos
+                # CDATA mode (script/style), recovery semantics observed
+                # from libxml2:
+                # - end tags at the very START of the content are dispatched
+                #   normally (an unmatched one is swallowed);
+                # - during CDATA consumption only an end tag whose name
+                #   PREFIX-matches the raw tag breaks; a prefix-but-not-exact
+                #   match (</scriptx>) is dispatched (usually a no-op) and
+                #   CDATA consumption resumes;
+                # - everything else, including other end tags, stays text.
+                el = b.stack[-1]
+                pos = j
+                while pos < n and s.startswith("</", pos):
+                    m2 = _RE_NAME.match(s, pos + 2)
+                    if not m2:
+                        # '</' + non-name at content start: the two chars
+                        # are dropped, the rest is CDATA text
+                        pos += 2
+                        break
+                    gt = s.find(">", m2.end())
+                    b.end(m2.group(0).lower())
+                    pos = n if gt < 0 else gt + 1
+                    if not (b.stack and b.stack[-1] is el):
+                        break
+                parts = []
+
+                def _flush_raw():
+                    txt = _RE_INVALID_TEXT.sub("", "".join(parts))
+                    parts.clear()
+                    if txt:
+                        el.text = txt if el.text is None else el.text + txt
+
+                while b.stack and b.stack[-1] is el and pos < n:
+                    k = s.find("</", pos)
+                    if k < 0:
+                        parts.append(s[pos:])
+                        pos = n
+                        break
+                    if s[k + 2 : k + 2 + len(tag)].lower() == tag:
+                        parts.append(s[pos:k])
+                        m3 = _RE_NAME.match(s, k + 2)
+                        gt = s.find(">", m3.end())
+                        _flush_raw()
+                        b.end(m3.group(0).lower())
+                        pos = n if gt < 0 else gt + 1
+                    else:
+                        parts.append(s[pos : k + 2])
+                        pos = k + 2
+                _flush_raw()
+                i = pos
         else:
-            pending_text.append("<")
+            flush_text()
+            if not in_prolog():
+                b.raw_text("<")
+            b.left_prolog = True
             i += 1
 
     flush_text()

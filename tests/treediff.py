@@ -66,6 +66,34 @@ SYNTHETIC_CASES = [
     '<html><body><p>x</p>late',
     '<html><head><title>t</title></head><frameset><frame src=a>'
     '<noframes>nf</noframes></frameset>',
+    # head/body state-machine cases (implied flags vs resettable discard)
+    '0</body><head>',
+    '0</body><head>x',
+    '0</body><body>y',
+    '<head><title>t</title></head><head>x',
+    '<head></head><body>b</body><head>h',
+    '<body>b</body><body>c',
+    '<body>b</body>mid<body>c',
+    '<body>b<div>d</div></body><body>c',
+    '<body>b</body><head><title>t2',
+    '0<head>0',
+    'x<body>y',
+    '<title>t</title><div>x</div>',
+    # recovery-text and prolog cases
+    '< 0',
+    '< <![CDATA[z]]>',
+    '<div></body><![CDATA[z]]>',
+    '<head><![CDATA[z]]>',
+    '<script></div>x</script>y',
+    '<script>a</div>b</script>c',
+    '<script>a</scriptx>b</script>c',
+    '<script></>x</script>y',
+    '<A<!---->',
+    '<a<p>q',
+    '<div id=1<p>q',
+    '\x1f',
+    '<p>a\x1fb\x0bc\x0cd\x7fe</p>',
+    '<p\x1f id=q>t</p>',
 ]
 
 
