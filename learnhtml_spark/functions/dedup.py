@@ -91,41 +91,58 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """(doc_id, h, minhash) — minhash_j = min over shingles of
-    md5(j ':' shingle); md5 is the portable hash family (same in any SQL
-    engine), compared lexicographically on the hex string."""
+    """Wide minhash signature per doc: (doc_id, mh1..mhN) where
+    minhash_j = min over shingles of md5(j ':' shingle).  md5 is the
+    portable hash family (identical in any SQL engine), compared
+    lexicographically on the hex string.
+
+    ONE shuffle: all N mins are aggregated in a single groupBy over the
+    shingle rows (the exploded (doc, h) form needs two)."""
     sh = shingles(docs, k)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(num_hashes)),
-                lambda j: F.struct(
-                    j.alias("h"),
-                    F.md5(F.concat_ws(":", j.cast("string"), F.col("shingle"))).alias(
-                        "mh"
-                    ),
-                ),
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.h", "x.mh")
-    return hashed.groupBy("doc_id", "h").agg(F.min("mh").alias("minhash"))
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
+        ).alias(f"mh{j}")
+        for j in range(1, num_hashes + 1)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
     docs: DataFrame, num_hashes: int = 16, band_size: int = 4, k: int = 3
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the minhash signature are
-    candidate near-duplicates — (band, doc_a, doc_b) distinct pairs."""
+    candidate near-duplicates — (doc_a, doc_b) distinct pairs.
+
+    Banding is pure array work on the wide signature (no extra shuffle);
+    the only wide ops are the signature aggregation, the band equi-join
+    and the final distinct."""
     sig = minhash_signatures(docs, num_hashes, k)
-    bands = sig.withColumn("band", ((F.col("h") - 1) / band_size).cast("int"))
-    band_key = bands.groupBy("doc_id", "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list(F.col("minhash")))).alias(
-            "band_sig"
-        )
+    n_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.array(
+                            *[
+                                F.col(f"mh{b * band_size + j + 1}")
+                                for j in range(band_size)
+                            ]
+                        )
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a = band_key.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
-    b = band_key.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("x")
+    ).select("doc_id", "x.band", "x.band_sig")
+    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -1,0 +1,71 @@
+"""Giant-page skew handling and the CLI surface."""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from collections import defaultdict
+
+
+def test_giant_page_extraction(spark):
+    """A multi-hundred-KB page among small ones must extract exactly and
+    not break the salted-repartition path."""
+    import __spark_entry__ as E
+    from learnhtml_spark.corpus import synthesize_page
+    from learnhtml_spark.operators.extract import (
+        docs_from_pairs,
+        extract_content_spans,
+    )
+
+    giant_text = " ".join(f"w{i % 977}" for i in range(60000))  # ~350 KB page
+    pairs = []
+    expected = {}
+    for doc_id, text in [("giant", giant_text)] + [
+        (f"small{i}", f"doc {i} body words " * 10) for i in range(30)
+    ]:
+        spans, exp = synthesize_page(doc_id, text, "srcX", "en")
+        pairs.append((doc_id, spans))
+        expected[doc_id] = exp
+    docs = docs_from_pairs(spark, pairs)
+    out = extract_content_spans(
+        docs, E._model_bytes(), num_partitions=8
+    ).orderBy("doc_id", "offset").collect()
+    per = defaultdict(list)
+    for r in out:
+        if r.kind == "text":
+            per[r.doc_id].append(r.text)
+    assert per["giant"] == expected["giant"]
+    assert sum(len(v) for v in per.values()) == sum(len(v) for v in expected.values())
+
+
+def test_repartition_docs_salting(spark):
+    from learnhtml_spark.operators.extract import repartition_docs
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(200)], ["doc_id"])
+    out = repartition_docs(df, 16, salt_buckets=4)
+    assert out.count() == 200
+    assert out.rdd.getNumPartitions() == 16
+
+
+def test_cli_extract_html(fixture_docs, tmp_path):
+    """Drive the CLI end-to-end on a fixture page (single-doc path)."""
+    name, html, gold = fixture_docs[0]  # R578, utf-8
+    f = tmp_path / "page.html"
+    f.write_text(html)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "learnhtml_spark.cli", "extract-html", str(f)],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert any("Ford Escape" in l for l in lines)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "learnhtml_spark.cli", "extract-html", "--paths", str(f)],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert r2.returncode == 0
+    assert all(p.startswith("/html") for p in r2.stdout.splitlines() if p.strip())
