@@ -293,6 +293,17 @@ _RE_INVALID_TEXT = re.compile(
 
 _RE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
 _RE_ATTR_NAME = re.compile(r"[a-zA-Z_:][a-zA-Z0-9._:-]*")
+
+#: one-shot per-attribute matcher inside a start tag: optional blanks, then
+#: either the tag terminator or an attribute (name, optional =value where
+#: the value is quoted — possibly unterminated at EOF — or unquoted)
+_RE_TAGPART = re.compile(
+    r"[ \t\n\r\f\v]*"
+    r"(?:(?P<end>/?>)"
+    r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9._:-]*)"
+    r"(?:[ \t\n\r\f\v]*=[ \t\n\r\f\v]*"
+    r"(?P<val>\"[^\"]*\"|'[^']*'|\"[^\"]*$|'[^']*$|[^ \t\n\r\f\v>]*))?)"
+)
 _RE_ENTITY = re.compile(r"&(?:([a-zA-Z][a-zA-Z0-9]*);|#[xX]([0-9a-fA-F]+);|#([0-9]+);)")
 _RE_UNQUOTED = re.compile(r"[^ \t\n\r\f\v>]*")
 _RE_WS_SKIP = re.compile(r"[ \t\n\r\f\v]*")
@@ -646,21 +657,13 @@ def parse_html(
             self_closing = False
             closed = False
             while j < n:
-                j = _RE_WS_SKIP.match(s, j).end()
-                if j >= n:
-                    break
-                c = s[j]
-                if c == ">":
-                    j += 1
-                    closed = True
-                    break
-                if c == "/" and j + 1 < n and s[j + 1] == ">":
-                    j += 2
-                    self_closing = True
-                    closed = True
-                    break
-                am = _RE_ATTR_NAME.match(s, j)
-                if not am:
+                # one composite match per attribute: leading blanks, tag
+                # terminator, or attr name with optional =value
+                tm = _RE_TAGPART.match(s, j)
+                if tm is None:
+                    j = _RE_WS_SKIP.match(s, j).end()
+                    if j >= n:
+                        break
                     # bogus attribute: skip up to the next blank or tag end,
                     # then continue scanning attributes (libxml2 recovery)
                     while j < n and s[j] not in " \t\n\r\f\v>" and not (
@@ -668,26 +671,25 @@ def parse_html(
                     ):
                         j += 1
                     continue
-                aname = am.group(0).lower()
-                j = _RE_WS_SKIP.match(s, am.end()).end()
-                if j < n and s[j] == "=":
-                    j = _RE_WS_SKIP.match(s, j + 1).end()
-                    if j < n and s[j] in "\"'":
-                        q = s[j]
-                        endq = s.find(q, j + 1)
-                        if endq < 0:
-                            aval = s[j + 1 :]
-                            j = n
-                        else:
-                            aval = s[j + 1 : endq]
-                            j = endq + 1
-                    else:
-                        vm = _RE_UNQUOTED.match(s, j)
-                        aval = vm.group(0)
-                        j = vm.end()
-                    aval = _decode_entities(aval)
-                else:
+                term = tm.group("end")
+                if term is not None:
+                    j = tm.end()
+                    closed = True
+                    self_closing = term == "/>"
+                    break
+                aname = tm.group("name").lower()
+                aval = tm.group("val")
+                j = tm.end()
+                if aval is None:
                     aval = aname if aname in _BOOLEAN_ATTRS else ""
+                else:
+                    if aval[:1] in "\"'":
+                        q = aval[0]
+                        if len(aval) >= 2 and aval[-1] == q:
+                            aval = aval[1:-1]
+                        else:
+                            aval = aval[1:]
+                    aval = _decode_entities(aval)
                 if aname not in attrib:
                     attrib[aname] = aval
             flush_text()

@@ -175,58 +175,47 @@ def extract_features_from_tree(
     }
 
     # ---- descendant aggregates --------------------------------------------
+    # the level-L ancestor of every node is computed by vectorized gather
+    # chaining; numeric per-(ancestor, level) sums are bincounts, and the
+    # comma-joined string lists are assembled only for the kept rows
     if depth > 0:
-        cnt = np.zeros((n, depth), dtype=np.int64)
-        s_children = np.zeros((n, depth), dtype=np.int64)
-        s_idlen = np.zeros((n, depth), dtype=np.int64)
-        s_nclass = np.zeros((n, depth), dtype=np.int64)
-        s_clslen = np.zeros((n, depth), dtype=np.int64)
-        s_txtlen = np.zeros((n, depth), dtype=np.int64)
-        l_classes: list[list[list[str]]] = [
-            [[] for _ in range(depth)] for _ in range(n)
-        ]
-        l_ids: list[list[list[str]]] = [[[] for _ in range(depth)] for _ in range(n)]
-        l_tags: list[list[list[str]]] = [[[] for _ in range(depth)] for _ in range(n)]
-
-        for i in range(n):
-            anc = parent[i]
-            lvl = 0
-            while anc >= 0 and lvl < depth:
-                cnt[anc, lvl] += 1
-                s_children[anc, lvl] += no_children[i]
-                s_idlen[anc, lvl] += id_len[i]
-                s_nclass[anc, lvl] += no_classes[i]
-                s_clslen[anc, lvl] += class_len[i]
-                s_txtlen[anc, lvl] += text_len[i]
-                if keep is None or keep[anc]:
-                    # reference quirk: ' '.join over the class string's chars
-                    l_classes[anc][lvl].append(" ".join(class_text[i]))
-                    l_ids[anc][lvl].append(id_text[i])
-                    l_tags[anc][lvl].append(tags[i])
-                anc = parent[anc]
-                lvl += 1
-
+        node_idx = np.arange(n)
+        kept_mask = np.zeros(n, dtype=bool)
+        kept_mask[kept] = True
+        kept_pos = {node: row for row, node in enumerate(kept)}
+        anc = parent.copy()
         for lvl in range(depth):
-            c = cnt[:, lvl]
+            valid = anc >= 0
+            tgt = anc[valid]
+            c = np.bincount(tgt, minlength=n).astype(np.int64)
             safe = np.where(c > 0, c, 1)
             pre = f"descendant{lvl + 1}_"
             data[pre + "no_nodes"] = col_num(c)
-            data[pre + "no_children_avg"] = col_num(
-                np.where(c > 0, s_children[:, lvl] / safe, 0.0)
-            )
-            data[pre + "id_len_avg"] = col_num(np.where(c > 0, s_idlen[:, lvl] / safe, 0.0))
-            data[pre + "no_classes_avg"] = col_num(
-                np.where(c > 0, s_nclass[:, lvl] / safe, 0.0)
-            )
-            data[pre + "class_len_avg"] = col_num(
-                np.where(c > 0, s_clslen[:, lvl] / safe, 0.0)
-            )
-            data[pre + "text_len_avg"] = col_num(
-                np.where(c > 0, s_txtlen[:, lvl] / safe, 0.0)
-            )
-            data[pre + "classes"] = [",".join(l_classes[i][lvl]) for i in kept]
-            data[pre + "ids"] = [",".join(l_ids[i][lvl]) for i in kept]
-            data[pre + "tags"] = [",".join(l_tags[i][lvl]) for i in kept]
+            for name, src in (
+                ("no_children_avg", no_children),
+                ("id_len_avg", id_len),
+                ("no_classes_avg", no_classes),
+                ("class_len_avg", class_len),
+                ("text_len_avg", text_len),
+            ):
+                sums = np.bincount(tgt, weights=src[valid], minlength=n)
+                data[pre + name] = col_num(np.where(c > 0, sums / safe, 0.0))
+
+            l_classes = [[] for _ in kept]
+            l_ids = [[] for _ in kept]
+            l_tags = [[] for _ in kept]
+            sel = valid & kept_mask[np.maximum(anc, 0)]
+            for i in node_idx[sel]:
+                row = kept_pos[anc[i]]
+                # reference quirk: ' '.join over the class string's chars
+                l_classes[row].append(" ".join(class_text[i]))
+                l_ids[row].append(id_text[i])
+                l_tags[row].append(tags[i])
+            data[pre + "classes"] = [",".join(x) for x in l_classes]
+            data[pre + "ids"] = [",".join(x) for x in l_ids]
+            data[pre + "tags"] = [",".join(x) for x in l_tags]
+
+            anc = np.where(valid, parent[np.maximum(anc, 0)], -1)
 
     # ---- ancestor features -------------------------------------------------
     if height > 0:

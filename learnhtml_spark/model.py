@@ -50,8 +50,40 @@ def _numeric_columns(df: pd.DataFrame) -> list[str]:
     return [c for c in df.columns if c != "path" and df[c].dtype != object]
 
 
+#: (column, value) -> tuple-of-slots memo: feature values repeat massively
+#: across rows and documents (tag names, framework class strings), so the
+#: hashing work is paid once per distinct value per worker
+_SLOT_CACHE: dict = {}
+_SLOT_CACHE_MAX = 500_000
+
+
+def _value_slots(col: str, v: str) -> tuple:
+    key = (col, v)
+    cached = _SLOT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = col + "="
+    if col.endswith("tag"):
+        out = (_slot(base + v),)
+    elif col.endswith("tags"):
+        out = tuple(_slot(base + tok) for tok in v.split(",") if tok)
+    else:  # class/id text: char 3-grams after camel split + lower
+        s = camel_case_split(v).lower()
+        if not s:
+            out = ()
+        else:
+            padded = f" {s} "
+            out = tuple(
+                _slot(base + padded[j : j + 3]) for j in range(len(padded) - 2)
+            )
+    if len(_SLOT_CACHE) >= _SLOT_CACHE_MAX:
+        _SLOT_CACHE.clear()
+    _SLOT_CACHE[key] = out
+    return out
+
+
 def featurize_frame(df: pd.DataFrame):
-    """Returns (x_num, rows, slots, vals): dense numeric matrix plus sparse
+    """Returns (x_num, rows, slots): dense numeric matrix plus sparse
     COO triplets of the hashed text features."""
     num_cols = _numeric_columns(df)
     x_num = df[num_cols].to_numpy(dtype=np.float64, copy=True)
@@ -60,26 +92,11 @@ def featurize_frame(df: pd.DataFrame):
     slots: list[int] = []
     for col in _string_columns(df):
         values = df[col].fillna("").astype(str).tolist()
-        base = col + "="
-        if col.endswith("tag"):
-            for i, v in enumerate(values):
-                rows.append(i)
-                slots.append(_slot(base + v))
-        elif col.endswith("tags"):
-            for i, v in enumerate(values):
-                for tok in v.split(","):
-                    if tok:
-                        rows.append(i)
-                        slots.append(_slot(base + tok))
-        else:  # class/id text: char 3-grams after camel split + lower
-            for i, v in enumerate(values):
-                s = camel_case_split(v).lower()
-                if not s:
-                    continue
-                padded = f" {s} "
-                for j in range(len(padded) - 2):
-                    rows.append(i)
-                    slots.append(_slot(base + padded[j : j + 3]))
+        for i, v in enumerate(values):
+            ss = _value_slots(col, v)
+            if ss:
+                rows.extend([i] * len(ss))
+                slots.extend(ss)
     return (
         x_num,
         np.asarray(rows, dtype=np.int64),
