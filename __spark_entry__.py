@@ -165,6 +165,12 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), k=5)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    from learnhtml_spark.functions.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.5, bits=4)
+
+
 def q_ann_buckets(spark, sf_dir):
     from learnhtml_spark.functions.similarity import hyperplane_lsh_buckets
 
@@ -265,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
+        "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "doc_split": q_doc_split,
         "join_stats": q_join_stats,
@@ -438,6 +445,28 @@ ranked as (
 select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 5
 """
 
+_NEARDUP_SQL = r"""
+with proj as (
+  select vec_id, embedding,
+         list_transform(range(0, 4), b -> round(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+             d -> embedding[d]::double *
+                  (cast(strpos('0123456789abcdef', substr(md5(cast(b as varchar) || ':' || cast(d - 1 as varchar)), 1, 1)) - 1 as double) - 7.5)
+           )), 6)) as p
+  from embeddings
+),
+bucketed as (
+  select vec_id, embedding,
+         cast(list_sum(list_transform(range(0, 4),
+              b -> case when p[b + 1] > 0 then cast(pow(2, b) as bigint) else 0 end)) as int) as bucket
+  from proj
+)
+select a.vec_id as vec_id_a, b.vec_id as vec_id_b,
+       round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) as sim
+from bucketed a join bucketed b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) >= 0.5
+"""
+
 _ANN_BUCKETS_SQL = r"""
 with proj as (
   select vec_id,
@@ -518,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,
+        "embedding_neardup": _NEARDUP_SQL,
         "events_hourly": _EVENTS_SQL,
         "doc_split": _SPLIT_SQL,
         "join_stats": _JOIN_SQL,

@@ -1,11 +1,12 @@
 """Benchmark harness (driver-run per round; also the scaling evidence).
 
 Runs the flagship extraction pipeline over the interleaved-span corpus
-synthesized from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) at two
-parallelism levels — local[N_SMALL] and local[$SPARK_GRAFT_CPUS] — on the
-same input, reporting docs/sec at both plus scaling efficiency
-(the sandbox rendition of the north rule's N vs 4N executor criterion),
-then times every oracle-checked query at full parallelism.
+synthesized from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) at
+three parallelism levels — local[N], local[4N] and local[$SPARK_GRAFT_CPUS]
+— on the same input, reporting docs/sec at each plus the N->4N scaling
+efficiency (the sandbox rendition of the north rule's N vs 4N executor
+criterion; see BENCH.md for why the pair sits at/below half the machine),
+then times every query at full parallelism.
 
 All timings use a noop sink (full materialization, no driver collect, no
 Catalyst short-circuit via count()).
@@ -13,8 +14,8 @@ Catalyst short-circuit via count()).
 Prints ONE JSON line:
   {"metric": ..., "value": <extraction wall sec at full parallelism>,
    "unit": "sec", "queries": {name: sec}, "sf": ...,
-   "docs_per_sec": {"local8": X, "local32": Y},
-   "scaling_efficiency": (Y/X)/(32/8), ...}
+   "docs_per_sec": {"local4": X, "local16": Y, "local32": Z},
+   "scaling_efficiency": (Y/X)/4, "scaling_efficiency_full_machine": ...}
 """
 
 from __future__ import annotations
@@ -75,7 +76,7 @@ SPANS_TABLE = "/tmp/bench_spans_table"
 #: fixed local-mode costs (task dispatch, Arrow setup) mask true scaling;
 #: replicating the same documents with distinct doc_ids gives a job long
 #: enough to measure honestly (work per doc unchanged)
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
 
 
 def materialize_spans_table(n_files: int) -> int:

@@ -109,6 +109,33 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     return embeddings.select("vec_id", bucket.alias("bucket"))
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.92, bits: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates first
+    (near-identical vectors agree on every hyperplane sign with high
+    probability), then exact cosine within buckets — the scale path for
+    embedding dedup.  Returns (vec_id_a, vec_id_b, sim) with sim rounded."""
+    buckets = hyperplane_lsh_buckets(embeddings, bits)
+    e = embeddings.join(buckets, "vec_id")
+    a = e.select(
+        "bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        "bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    sims = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.round(
+            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+            6,
+        ).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+
 def ann_lsh_topk(embeddings: DataFrame, bits: int = 6, k: int = 3) -> DataFrame:
     """Approximate top-k: exact cosine ranking within each LSH bucket."""
     buckets = hyperplane_lsh_buckets(embeddings, bits)
