@@ -499,10 +499,6 @@ class _TreeBuilder:
         if not self.stack:
             if not s.strip(" \t\n\r\f\v"):
                 return  # doc-level blank runs are always dropped
-            if not self.left_prolog:
-                # prolog blanks are skipped even as a prefix of the text
-                # run that opens the implied content
-                s = s.lstrip(" \t\n\r\f\v")
             if self.root is not None and self.saw_doctype:
                 # with a DTD present, stray doc-level text after the root
                 # is discarded (observed libxml2 recovery)
@@ -578,7 +574,12 @@ def parse_html(
 
     def flush_text():
         if pending_text:
-            t = _RE_INVALID_TEXT.sub("", _decode_entities("".join(pending_text)))
+            t = "".join(pending_text)
+            if not b.left_prolog and b.root is None and not b.stack:
+                # prolog blank-skipping applies to the RAW stream only: an
+                # invalid char (later dropped) already ends the skipping
+                t = t.lstrip(" \t\n\r\f\v")
+            t = _RE_INVALID_TEXT.sub("", _decode_entities(t))
             if t:
                 b.text(t)
             pending_text.clear()

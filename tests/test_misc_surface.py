@@ -87,3 +87,23 @@ def test_csv_roundtrip(spark, tmp_path):
     got = {r.url: r.html for r in back.collect()}
     assert got["u1"] == '<html><body><p>hi, "quoted"</p></body></html>'
     assert got["u2"] == "<div>multi\nline</div>"
+
+
+def test_read_html_dir(spark, fixture_model):
+    """S1 directory-scan source: fixture HTML dir -> docs table -> pipeline."""
+    from learnhtml_spark.operators.extract import extract_content_spans
+    from learnhtml_spark.sources.dir_source import read_html_dir
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "dragnet")
+    docs = read_html_dir(spark, fix, prefix="dragnet-")
+    rows = docs.collect()
+    assert {r.doc_id for r in rows} == {
+        "file://dragnet-9.html",
+        "file://dragnet-R578.html",
+    }
+    assert all(r.spans[0].kind == "html" and len(r.spans[0].text) > 1000 for r in rows)
+    out = extract_content_spans(docs, fixture_model.to_bytes()).collect()
+    assert {r.doc_id for r in out} == {
+        "file://dragnet-9.html",
+        "file://dragnet-R578.html",
+    }
