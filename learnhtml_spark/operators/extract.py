@@ -120,32 +120,45 @@ def extract_content_spans(
             parsed = []  # (doc_id, blocks, block_paths, boundaries, media)
             col_dicts = []
             doc_keys = []
+            error_rows = []  # poison documents must never kill the job
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                spans = _spans_list(spans)
-                html, boundaries = html_from_spans(spans)
-                media = media_spans(spans)
-                root = parse_html(html) if html else None
-                blocks = blocks_from_tree(root, do_css=False) if root is not None else []
-                block_paths = [
-                    getpath(b.features["block_start_element"]) for b in blocks
-                ]
-                parsed.append((doc_id, blocks, block_paths, boundaries, media))
-                if blocks:
-                    starts = {
-                        id(b.features["block_start_element"]) for b in blocks
-                    }
-                    d = extract_features_from_tree(
-                        root, depth, height, select_nodes=starts, as_columns=True
+                try:
+                    spans = _spans_list(spans)
+                    html, boundaries = html_from_spans(spans)
+                    media = media_spans(spans)
+                    root = parse_html(html) if html else None
+                    blocks = (
+                        blocks_from_tree(root, do_css=False)
+                        if root is not None
+                        else []
                     )
-                    stats = block_stats_list(blocks)
-                    for name, vals in zip(
-                        BLOCK_STAT_COLUMNS,
-                        zip(*(stats.get(p, None) or [0.0] * len(BLOCK_STAT_COLUMNS)
-                              for p in d["path"])),
-                    ):
-                        d[name] = np.asarray(vals, dtype=np.float64)
-                    col_dicts.append(d)
-                    doc_keys.extend([doc_id] * len(d["path"]))
+                    block_paths = [
+                        getpath(b.features["block_start_element"]) for b in blocks
+                    ]
+                    if blocks:
+                        starts = {
+                            id(b.features["block_start_element"]) for b in blocks
+                        }
+                        d = extract_features_from_tree(
+                            root, depth, height, select_nodes=starts, as_columns=True
+                        )
+                        stats = block_stats_list(blocks)
+                        for name, vals in zip(
+                            BLOCK_STAT_COLUMNS,
+                            zip(*(stats.get(p, None) or [0.0] * len(BLOCK_STAT_COLUMNS)
+                                  for p in d["path"])),
+                        ):
+                            d[name] = np.asarray(vals, dtype=np.float64)
+                        col_dicts.append(d)
+                        doc_keys.extend([doc_id] * len(d["path"]))
+                    parsed.append((doc_id, blocks, block_paths, boundaries, media))
+                except Exception as exc:  # noqa: BLE001 — per-doc isolation
+                    # auditable error row: kind='error', offset=-1; filtered
+                    # by consumers, counted into lineage error_count
+                    error_rows.append(
+                        (doc_id, "error", f"{type(exc).__name__}: {exc}"[:500],
+                         None, -1)
+                    )
 
             # phase 2: ONE vectorized model call for the whole Arrow batch
             positive_by_doc: dict = {}
@@ -166,15 +179,21 @@ def extract_content_spans(
                     positive_by_doc.setdefault(d, set()).add(p)
 
             # phase 3: assemble ordered output spans per doc
-            rows = []
+            rows = list(error_rows)
             for doc_id, blocks, block_paths, boundaries, media in parsed:
-                positive = positive_by_doc.get(doc_id, set())
-                content = [
-                    (b.text, b.features["block_start_element"].srcpos)
-                    for b, p in zip(blocks, block_paths)
-                    if p in positive
-                ]
-                rows.extend(assemble_output(doc_id, content, boundaries, media))
+                try:
+                    positive = positive_by_doc.get(doc_id, set())
+                    content = [
+                        (b.text, b.features["block_start_element"].srcpos)
+                        for b, p in zip(blocks, block_paths)
+                        if p in positive
+                    ]
+                    rows.extend(assemble_output(doc_id, content, boundaries, media))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append(
+                        (doc_id, "error", f"{type(exc).__name__}: {exc}"[:500],
+                         None, -1)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(run, schema=EXTRACTED_SPANS)

@@ -96,14 +96,22 @@ def write_extraction_run(
     wall_ms = int((time.time() - t0) * 1000)
 
     # per-bucket metrics from the landed output + the input doc counts
-    span_stats = (
-        spark.read.parquet(os.path.join(base_path, "spans"))
-        .filter(F.col("bucket").isin(pending))
-        .groupBy("bucket")
-        .agg(
-            F.countDistinct("doc_id").alias("docs_with_output"),
-            F.count("*").alias("span_count"),
-        )
+    from learnhtml_spark.schemas import EXTRACTED_SPANS
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # NB: StructType.add mutates in place — build a fresh StructType
+    landed_schema = StructType(
+        list(EXTRACTED_SPANS.fields) + [StructField("bucket", IntegerType())]
+    )
+    # explicit schema: a run whose pending buckets produced no rows leaves
+    # an empty directory that schema inference cannot read
+    landed = spark.read.schema(landed_schema).parquet(
+        os.path.join(base_path, "spans")
+    ).filter(F.col("bucket").isin(pending))
+    span_stats = landed.groupBy("bucket").agg(
+        F.countDistinct("doc_id").alias("docs_with_output"),
+        F.sum(F.when(F.col("kind") != "error", 1).otherwise(0)).alias("span_count"),
+        F.sum(F.when(F.col("kind") == "error", 1).otherwise(0)).alias("error_count"),
     )
     doc_stats = (
         bucketed.filter(F.col("bucket").isin(pending))
@@ -120,7 +128,7 @@ def write_extraction_run(
             int(b),
             int(stats[b].doc_count) if b in stats else 0,
             int(stats[b].span_count or 0) if b in stats else 0,
-            0,
+            int(stats[b].error_count or 0) if b in stats else 0,
             wall_ms,
             "ok",
         )

@@ -104,3 +104,38 @@ def test_media_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_stub("a.jpg", None, deterministic_fake=False)
+
+
+def test_poison_document_isolated(spark, fixture_model, tmp_path):
+    """A document that crashes the kernels yields an auditable error row;
+    the rest of the batch extracts normally and lineage counts the error."""
+    from pyspark.sql import Row
+
+    from learnhtml_spark.operators.extract import docs_from_pairs
+    from learnhtml_spark.sources.tables import read_lineage, write_extraction_run
+    from learnhtml_spark.spans import split_html_to_spans
+
+    from learnhtml_spark.corpus import synthesize_page
+
+    good_spans, _ = synthesize_page("good", "proper article content words " * 8,
+                                    "srcX", "en")
+    # offset=None among others breaks span ordering inside the UDF
+    # -> the per-doc error path must isolate it
+    poison_spans = [
+        {"kind": "html", "text": "<p>x</p>", "media_ref": None, "offset": None},
+        {"kind": "html", "text": "<p>y</p>", "media_ref": None, "offset": 1},
+    ]
+    docs = docs_from_pairs(spark, [("good", good_spans), ("poison", poison_spans)])
+
+    base = str(tmp_path / "out")
+    summary = write_extraction_run(docs, fixture_model.to_bytes(), base, "r",
+                                   num_buckets=4)
+    spans = spark.read.parquet(base + "/spans")
+    err = [r for r in spans.collect() if r.kind == "error"]
+    assert len(err) == 1 and err[0].doc_id == "poison" and err[0].offset == -1
+    assert "TypeError" in err[0].text or "Error" in err[0].text
+    ok_docs = {r.doc_id for r in spans.collect() if r.kind != "error"}
+    assert "good" in ok_docs
+    lin = read_lineage(spark, base)
+    from pyspark.sql import functions as F
+    assert lin.agg(F.sum("error_count")).collect()[0][0] == 1
