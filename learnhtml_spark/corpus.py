@@ -16,14 +16,32 @@ from __future__ import annotations
 import hashlib
 
 NAV_WORDS = ["home", "news", "sports", "contact", "about", "shop", "login",
-             "archive", "video", "photos", "trending", "subscribe"]
-FOOTER = ("Copyright 2024 Example Media Group. All rights reserved. "
-          "Terms of service. Privacy policy.")
+             "archive", "video", "photos", "trending", "subscribe", "world",
+             "local", "opinion", "tech", "health", "travel", "jobs", "deals"]
+FOOTERS = [
+    "Copyright 2024 Example Media Group. All rights reserved. Terms of "
+    "service. Privacy policy.",
+    "All content copyright Site Holdings Inc. Do not reproduce without "
+    "permission. Cookie settings. Accessibility.",
+    "Powered by ExampleCMS. Sitemap. RSS feeds. Advertise with us. "
+    "Careers. Press room.",
+]
 AD_SNIPPETS = [
     "Sponsored: best deals on example products click here now",
     "Advertisement partner content promotion limited offer",
     "Recommended for you more stories around the web",
+    "You may also like these trending picks from our partners",
+    "Hot right now sign up and save big on top brands today",
 ]
+# class-name pools: varied per page so a model cannot memorize chrome
+# attribute strings and must rely on structural/density signals
+CONTENT_CLASSES = ["article-body", "post-text", "entry-content", "story",
+                   "body-copy", "txt", "main-text", "copy", ""]
+HEADLINE_CLASSES = ["headline", "title", "post-title", "hed", "article-h", ""]
+NAV_CLASSES = ["nav-item", "menu-link", "topnav-a", "m-item", ""]
+WIDGET_CLASSES = ["widget promo", "sidebar-box", "teaser ad", "rail-item", ""]
+MAIN_IDS = ["main", "content", "article", "primary", "story-wrap"]
+FOOTER_CLASSES = ["fineprint", "footer-legal", "small-print", "legal", ""]
 
 
 def _rng_ints(doc_id, n: int, mod: int) -> list[int]:
@@ -58,31 +76,57 @@ def synthesize_page(doc_id, text: str, source: str = "src", lang: str = "en"):
             paras.append(" ".join(words[pos : pos + size]))
         pos += size
 
+    # per-page chrome variation (deterministic): class-name pools, nav
+    # size, widget count, optional extra wrappers, heading level
+    rv = _rng_ints(doc_id + ":v", 12, 251)
+    cls_content = CONTENT_CLASSES[rv[0] % len(CONTENT_CLASSES)]
+    cls_head = HEADLINE_CLASSES[rv[1] % len(HEADLINE_CLASSES)]
+    cls_nav = NAV_CLASSES[rv[2] % len(NAV_CLASSES)]
+    cls_widget = WIDGET_CLASSES[rv[3] % len(WIDGET_CLASSES)]
+    main_id = MAIN_IDS[rv[4] % len(MAIN_IDS)]
+    cls_foot = FOOTER_CLASSES[rv[5] % len(FOOTER_CLASSES)]
+    footer_text = FOOTERS[rv[6] % len(FOOTERS)]
+    htag = "h1" if rv[7] % 3 else "h2"
+    nav_start = rv[8] % len(NAV_WORDS)
+
+    def _cls(c):
+        return f' class="{c}"' if c else ""
+
     nav = " ".join(
-        f'<a class="nav-item" href="/{NAV_WORDS[i % len(NAV_WORDS)]}">{NAV_WORDS[i % len(NAV_WORDS)]}</a>'
-        for i in range(4 + r[1] % 4)
+        f'<a{_cls(cls_nav)} href="/{NAV_WORDS[(nav_start + i) % len(NAV_WORDS)]}">'
+        f"{NAV_WORDS[(nav_start + i) % len(NAV_WORDS)]}</a>"
+        for i in range(4 + r[1] % 6)
     )
     sidebar_items = "".join(
-        f'<div class="widget promo"><a href="/w{i}">{AD_SNIPPETS[i % 3]}</a></div>'
+        f'<div{_cls(cls_widget)}><a href="/w{i}">'
+        f"{AD_SNIPPETS[(rv[9] + i) % len(AD_SNIPPETS)]}</a></div>"
         for i in range(1 + r[2] % 3)
     )
-    content = "".join(
-        f'<p class="article-body">{p}</p>' for p in paras
-    )
+    # optional related-links list (pure boilerplate)
+    related = ""
+    if rv[10] % 2:
+        related = "<ul>" + "".join(
+            f'<li><a href="/rel{i}">more {NAV_WORDS[(nav_start + 2 * i) % len(NAV_WORDS)]} '
+            f"stories {i}</a></li>"
+            for i in range(3)
+        ) + "</ul>"
+    content = "".join(f"<p{_cls(cls_content)}>{p}</p>" for p in paras)
     title = " ".join(words[:6])
     # the <title> text always becomes the page's first (boilerplate) block;
-    # the suffix keeps it distinct from the <h1> headline content block
+    # the suffix keeps it distinct from the headline content block
     page_title = title + " | Example News"
+    # optional extra wrapper div around the main column
+    open_wrap, close_wrap = ("<div>", "</div>") if rv[11] % 2 else ("", "")
     html = (
-        f'<html><head><title>{page_title}</title></head><body>'
-        f'<div id="header" class="site-header"><div class="nav">{nav}</div></div>'
-        f'<div id="page" class="wrap">'
-        f'<div id="sidebar" class="col side">{sidebar_items}</div>'
-        f'<div id="main" class="col article" data-src="{source}" lang="{lang}">'
-        f'<h1 class="headline">{title}</h1>'
+        f"<html><head><title>{page_title}</title></head><body>"
+        f'<div id="header"><div class="nav">{nav}</div></div>'
+        f'<div id="page">'
+        f'<div id="sidebar">{sidebar_items}{related}</div>'
+        f'{open_wrap}<div id="{main_id}" data-src="{source}" lang="{lang}">'
+        f"<{htag}{_cls(cls_head)}>{title}</{htag}>"
         f"{content}"
-        f'</div></div>'
-        f'<div id="footer" class="site-footer"><p class="fineprint">{FOOTER}</p></div>'
+        f"</div>{close_wrap}</div>"
+        f'<div id="footer"><p{_cls(cls_foot)}>{footer_text}</p></div>'
         f"</body></html>"
     )
     # expected extraction = headline + content paragraphs, in order
