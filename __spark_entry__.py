@@ -73,7 +73,7 @@ def q_node_features(spark, sf_dir):
 
 
 def q_label_ratios(spark, sf_dir):
-    from learnhtml_spark.corpus import synthesize_docs, synthesize_page
+    from learnhtml_spark.corpus import synthesize_docs
     from learnhtml_spark.operators.extract import label_documents
 
     docs = synthesize_docs(_docs(spark, sf_dir))

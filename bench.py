@@ -131,31 +131,39 @@ def main():
 
     n_docs = materialize_spans_table(n_files=CPUS * 4)
 
-    # --- scaling runs: N, 4N, then all cores --------------------------------
-    for cores in (SMALL, MID, CPUS):
-        spark = make_session(cores)
-        spark.sparkContext.setLogLevel("ERROR")
-        # warm twice: python workers + JVM C2/Arrow paths keep improving
-        # through the second job; measure the best of three steady runs
-        run_extraction(spark, cores)
-        run_extraction(spark, cores)
-        wall = min(run_extraction(spark, cores) for _ in range(3))
+    # --- scaling runs: N, 4N, all cores — TWO interleaved cycles ----------
+    # ambient VM noise drifts over minutes; measuring every level in two
+    # separate passes and keeping the best per level de-correlates the
+    # scaling ratio from when the noise happened to spike
+    best = {c: float("inf") for c in (SMALL, MID, CPUS)}
+    for cycle in range(2):
+        for cores in (SMALL, MID, CPUS):
+            spark = make_session(cores)
+            spark.sparkContext.setLogLevel("ERROR")
+            # warm: python workers + JVM C2/Arrow paths keep improving
+            # through the second job
+            run_extraction(spark, cores)
+            if cycle == 0:
+                run_extraction(spark, cores)
+            wall = min(run_extraction(spark, cores) for _ in range(2))
+            best[cores] = min(best[cores], wall)
+            if cycle == 1 and cores == CPUS:
+                # --- per-query timings at full parallelism ---------------
+                queries = {}
+                for name, fn in E.queries().items():
+                    t0 = time.time()
+                    try:
+                        noop_write(fn(spark, SF_DIR))
+                        queries[name] = round(time.time() - t0, 3)
+                    except Exception as e:  # pragma: no cover
+                        queries[name] = f"error: {e}"
+                result["queries"] = queries
+            spark.stop()
+    for cores, wall in best.items():
         result["docs_per_sec"][f"local{cores}"] = round(n_docs / wall, 2)
         result["wall_sec"][f"local{cores}"] = round(wall, 2)
-        if cores == CPUS:
-            result["value"] = round(wall, 3)
-            result["n_docs"] = n_docs
-            # --- per-query timings at full parallelism -------------------
-            queries = {}
-            for name, fn in E.queries().items():
-                t0 = time.time()
-                try:
-                    noop_write(fn(spark, SF_DIR))
-                    queries[name] = round(time.time() - t0, 3)
-                except Exception as e:  # pragma: no cover
-                    queries[name] = f"error: {e}"
-            result["queries"] = queries
-        spark.stop()
+    result["value"] = round(best[CPUS], 3)
+    result["n_docs"] = n_docs
 
     t_small = result["docs_per_sec"][f"local{SMALL}"]
     t_mid = result["docs_per_sec"][f"local{MID}"]

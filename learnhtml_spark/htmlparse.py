@@ -292,7 +292,6 @@ _RE_INVALID_TEXT = re.compile(
 )
 
 _RE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
-_RE_ATTR_NAME = re.compile(r"[a-zA-Z_:][a-zA-Z0-9._:-]*")
 
 #: one-shot per-attribute matcher inside a start tag: optional blanks, then
 #: either the tag terminator or an attribute (name, optional =value where
@@ -305,7 +304,6 @@ _RE_TAGPART = re.compile(
     r"(?P<val>\"[^\"]*\"|'[^']*'|\"[^\"]*$|'[^']*$|[^ \t\n\r\f\v>]*))?)"
 )
 _RE_ENTITY = re.compile(r"&(?:([a-zA-Z][a-zA-Z0-9]*);|#[xX]([0-9a-fA-F]+);|#([0-9]+);)")
-_RE_UNQUOTED = re.compile(r"[^ \t\n\r\f\v>]*")
 _RE_WS_SKIP = re.compile(r"[ \t\n\r\f\v]*")
 _RE_DOCTYPE = re.compile(r"<!doctype", re.IGNORECASE)
 
