@@ -135,8 +135,10 @@ def main():
     # ambient VM noise drifts over minutes; measuring every level in two
     # separate passes and keeping the best per level de-correlates the
     # scaling ratio from when the noise happened to spike
+    n_cycles = int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3"))
     best = {c: float("inf") for c in (SMALL, MID, CPUS)}
-    for cycle in range(2):
+    cycle_walls = {c: [] for c in (SMALL, MID, CPUS)}
+    for cycle in range(n_cycles):
         for cores in (SMALL, MID, CPUS):
             spark = make_session(cores)
             spark.sparkContext.setLogLevel("ERROR")
@@ -147,7 +149,8 @@ def main():
                 run_extraction(spark, cores)
             wall = min(run_extraction(spark, cores) for _ in range(2))
             best[cores] = min(best[cores], wall)
-            if cycle == 1 and cores == CPUS:
+            cycle_walls[cores].append(round(wall, 2))
+            if cycle == n_cycles - 1 and cores == CPUS:
                 # --- per-query timings at full parallelism ---------------
                 queries = {}
                 for name, fn in E.queries().items():
@@ -162,6 +165,7 @@ def main():
     for cores, wall in best.items():
         result["docs_per_sec"][f"local{cores}"] = round(n_docs / wall, 2)
         result["wall_sec"][f"local{cores}"] = round(wall, 2)
+    result["cycle_walls"] = {f"local{c}": w for c, w in cycle_walls.items()}
     result["value"] = round(best[CPUS], 3)
     result["n_docs"] = n_docs
 
