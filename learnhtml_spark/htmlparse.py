@@ -707,6 +707,13 @@ def parse_html(
                 # - everything else, including other end tags, stays text.
                 el = b.stack[-1]
                 pos = j
+                if tag == "script" and s[pos : pos + 9].lower() == "<noscript":
+                    # observed libxml2 special case: a <noscript> start tag
+                    # at the very beginning of script content closes the
+                    # script and is parsed as a normal element
+                    b.end("script")
+                    i = pos
+                    continue
                 while pos < n and s.startswith("</", pos):
                     m2 = _RE_NAME.match(s, pos + 2)
                     if not m2:
