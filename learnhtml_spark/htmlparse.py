@@ -299,7 +299,7 @@ _RE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
 _RE_TAGPART = re.compile(
     r"[ \t\n\r\f\v]*"
     r"(?:(?P<end>/?>)"
-    r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9._:-]*)"
+    r"|(?P<name>[a-zA-Z_:.][a-zA-Z0-9._:-]*)"
     r"(?:[ \t\n\r\f\v]*=[ \t\n\r\f\v]*"
     r"(?P<val>\"[^\"]*\"|'[^']*'|\"[^\"]*$|'[^']*$|[^ \t\n\r\f\v>]*))?)"
 )

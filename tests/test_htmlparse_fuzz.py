@@ -16,7 +16,7 @@ try:
 except Exception:  # pragma: no cover
     HAVE_ORACLE = False
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 import treediff
 
@@ -77,6 +77,9 @@ _doc = st.builds(
 @needs_oracle
 @settings(max_examples=300, deadline=None)
 @given(_doc)
+@example(
+    doc='<div id="".">',
+).via('discovered failure')
 def test_fuzz_tree_equality(doc):
     assert treediff.compare(doc) == [], doc
 
