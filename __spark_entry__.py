@@ -414,21 +414,32 @@ select distinct a.doc_a, a.doc_b from (
 ) a
 """
 
+# mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
+# final signature cast to bigint explicitly (DuckDB sum() widens to
+# HUGEINT, which the driver's value-hasher normalizes differently).
+_SIMHASH_VOTE_SUMS = ",\n         ".join(
+    "sum(case when (strpos('0123456789abcdef', substr(th, {pos}, 1)) - 1)"
+    " // {div} % 2 = 1 then 1 else -1 end) as v{b}".format(
+        pos=1 + b // 4, div=1 << (b % 4), b=b
+    )
+    for b in range(16)
+)
+_SIMHASH_SIG = " + ".join(
+    "case when v{b} > 0 then {w} else 0 end".format(b=b, w=1 << b)
+    for b in range(16)
+)
 _SIMHASH_SQL = r"""
 with
 """ + _TOKS_CTE + r""",
 tok as (select doc_id, unnest(list_transform(t, x -> lower(x))) as tok from toks),
 th as (select doc_id, md5(tok) as th from tok),
-votes as (
-  select doc_id, b.bit as bit,
-         case when ((strpos('0123456789abcdef', substr(th, 1 + (b.bit // 4), 1)) - 1) // cast(pow(2, b.bit % 4) as bigint)) % 2 = 1
-              then 1 else -1 end as vote
-  from th, (select unnest(range(0, 16)) as bit) b
-),
-sums as (select doc_id, bit, sum(vote) as v from votes group by doc_id, bit)
-select doc_id,
-       sum(case when v > 0 then cast(pow(2, bit) as bigint) else 0 end) as simhash
-from sums group by doc_id
+sums as (
+  select doc_id,
+         """ + _SIMHASH_VOTE_SUMS + r"""
+  from th group by doc_id
+)
+select doc_id, cast(""" + _SIMHASH_SIG + r""" as bigint) as simhash
+from sums
 """
 
 _COSINE_SQL = r"""

