@@ -177,6 +177,14 @@ def q_ann_buckets(spark, sf_dir):
     return hyperplane_lsh_buckets(_emb(spark, sf_dir), bits=8)
 
 
+def q_ann_topk(spark, sf_dir):
+    # the SCALE path for top-k similarity: LSH-bucketed candidates, exact
+    # cosine within bucket only (cosine_topk stays as the small-n oracle)
+    from learnhtml_spark.functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), bits=6, k=3)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -233,16 +241,12 @@ def q_source_rollup(spark, sf_dir):
 
 
 def q_sibling_pos(spark, sf_dir):
-    # true row-order window (reference W2 analog)
-    from pyspark.sql import Window
+    # true row-order window (reference W2 analog), computed with the
+    # skew-safe two-phase rank (a plain window over `source` would put a
+    # whole source — n/10 rows — in one task at scale)
+    from learnhtml_spark.functions.windows import sibling_positions
 
-    d = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return d.select(
-        "doc_id",
-        "source",
-        (F.row_number().over(w) - 1).alias("sibling_pos"),
-    )
+    return sibling_positions(_docs(spark, sf_dir), group="source", order="doc_id")
 
 
 def q_topk_docs(spark, sf_dir):
@@ -271,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
+        "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "doc_split": q_doc_split,
@@ -494,6 +499,36 @@ select vec_id,
 from proj
 """
 
+_ANN_TOPK_SQL = r"""
+with proj as (
+  select vec_id, embedding,
+         list_transform(range(0, 6), b -> round(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+             d -> embedding[d]::double *
+                  (cast(strpos('0123456789abcdef', substr(md5(cast(b as varchar) || ':' || cast(d - 1 as varchar)), 1, 1)) - 1 as double) - 7.5)
+           )), 6)) as p
+  from embeddings
+),
+bucketed as (
+  select vec_id, embedding,
+         cast(list_sum(list_transform(range(0, 6),
+              b -> case when p[b + 1] > 0 then cast(pow(2, b) as bigint) else 0 end)) as int) as bucket
+  from proj
+),
+sims as (
+  select a.vec_id as vec_id, b.vec_id as neighbor_id,
+         round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) as sim
+  from bucketed a join bucketed b
+    on a.bucket = b.bucket and a.vec_id <> b.vec_id
+),
+ranked as (
+  select vec_id, neighbor_id, sim,
+         row_number() over (partition by vec_id order by sim desc, neighbor_id asc) as rank
+  from sims
+)
+select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
+"""
+
 _EVENTS_SQL = r"""
 select event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
@@ -558,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "events_hourly": _EVENTS_SQL,
         "doc_split": _SPLIT_SQL,

@@ -117,20 +117,29 @@ def embedding_neardup_pairs(
     probability), then exact cosine within buckets — the scale path for
     embedding dedup.  Returns (vec_id_a, vec_id_b, sim) with sim rounded."""
     buckets = hyperplane_lsh_buckets(embeddings, bits)
-    e = embeddings.join(buckets, "vec_id")
+    # norm computed ONCE per vector (narrow, pre-join) — recomputing it
+    # per candidate pair costs O(pairs × dim) instead of O(n × dim)
+    e = embeddings.join(buckets, "vec_id").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     a = e.select(
-        "bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+        "bucket",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
-        "bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
+        "bucket",
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_id_a") < F.col("vec_id_b"))
     sims = pairs.select(
         "vec_id_a",
         "vec_id_b",
         F.round(
-            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-            6,
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
         ).alias("sim"),
     )
     return sims.filter(F.col("sim") >= threshold)
@@ -139,19 +148,26 @@ def embedding_neardup_pairs(
 def ann_lsh_topk(embeddings: DataFrame, bits: int = 6, k: int = 3) -> DataFrame:
     """Approximate top-k: exact cosine ranking within each LSH bucket."""
     buckets = hyperplane_lsh_buckets(embeddings, bits)
-    e = embeddings.join(buckets, "vec_id")
-    a = e.select("bucket", F.col("vec_id"), F.col("embedding").alias("ea"))
+    # norm once per vector, not per candidate pair (see neardup note)
+    e = embeddings.join(buckets, "vec_id").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    a = e.select(
+        "bucket", F.col("vec_id"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
     b = e.select(
-        "bucket", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
     sims = pairs.select(
         "vec_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("ea"), F.col("eb"))
-            / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-            6,
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

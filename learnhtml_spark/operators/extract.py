@@ -74,14 +74,20 @@ def _spans_list(value) -> list[dict]:
 
 
 def repartition_docs(
-    docs: DataFrame, num_partitions: int, salt_buckets: int = 1
+    docs: DataFrame, num_partitions: int, salt_buckets: int = 1, seed: int = 0x5A17
 ) -> DataFrame:
     """Salted doc-hash repartition: distributes giant-page skew by spreading
     hash buckets over ``salt_buckets`` extra keys (SURVEY.md §4 — the one
-    distribution concern Catalyst does not solve for per-row compute skew)."""
+    distribution concern Catalyst does not solve for per-row compute skew).
+
+    The salt MUST be a pure function of the row: a nondeterministic key
+    (e.g. monotonically_increasing_id) re-evaluates differently when a
+    stage is retried on a real cluster, losing/duplicating rows
+    (SPARK-23207 class of bug).  We derive it from a second, independent
+    hash of doc_id — same skew-spreading effect, fully deterministic."""
     if salt_buckets <= 1:
         return docs.repartition(num_partitions, F.col("doc_id"))
-    salt = (F.abs(F.hash("doc_id", F.monotonically_increasing_id())) % salt_buckets)
+    salt = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(salt_buckets))
     return docs.repartition(num_partitions, F.col("doc_id"), salt)
 
 

@@ -92,3 +92,44 @@ def test_minhash_band_join_is_equi_join(docs):
         minhash_lsh_candidates(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan        # bucketed, never all-pairs
+
+
+def test_sibling_positions_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.windows import sibling_positions
+
+    rows = [(i, f"s{i % 3}") for i in range(997)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    got = {
+        (r["doc_id"], r["source"]): r["sibling_pos"]
+        for r in sibling_positions(df, num_partitions=7).collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["source"]): r["pos"]
+        for r in df.select(
+            "doc_id", "source", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sibling_positions_no_whole_group_window(spark):
+    """The executed plan must not contain a window partitioned by the
+    bare low-cardinality group column (skew guard)."""
+    from learnhtml_spark.functions.windows import sibling_positions
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(50)], "doc_id int, source string"
+    )
+    plan = (
+        sibling_positions(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the full-data window must key on (_pid, source), never bare source,
+    # and the input must be range-partitioned so chunks stay contiguous
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "row_number()" in line and "_local" in line:
+            assert "_pid" in line.split("windowspecdefinition")[-1]

@@ -49,6 +49,25 @@ def test_repartition_docs_salting(spark):
     assert out.rdd.getNumPartitions() == 16
 
 
+def test_repartition_salt_is_deterministic(spark):
+    """The shuffle key must be a pure function of the row — a
+    nondeterministic salt loses/duplicates rows under stage retry on a
+    real cluster (SPARK-23207)."""
+    from learnhtml_spark.operators.extract import repartition_docs
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(500)], ["doc_id"])
+    out = repartition_docs(df, 16, salt_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert "rand(" not in plan
+    # same row -> same partition, run to run
+    p1 = sorted(out.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(r.doc_id, i) for r in it]).collect())
+    p2 = sorted(out.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(r.doc_id, i) for r in it]).collect())
+    assert p1 == p2
+
+
 def test_cli_extract_html(fixture_docs, tmp_path):
     """Drive the CLI end-to-end on a fixture page (single-doc path)."""
     name, html, gold = fixture_docs[0]  # R578, utf-8
