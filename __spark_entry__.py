@@ -577,8 +577,51 @@ select doc_id, n_chars from documents order by n_chars desc, doc_id asc limit 10
 """
 
 
+# ---------------------------------------------------------------------------
+# DOM-pipeline oracles: the flagship queries are not SQL-expressible, so
+# their oracle is a join against pre-materialized ground truth
+# (learnhtml_spark/artifacts/goldens/, built by scripts/make_goldens.py):
+# spans are GENERATOR-anchored (corpus.expected_extraction knows each
+# synthetic page's content paragraphs — independent of the model), while
+# features/labels pin a sequential single-process run of the same pure
+# kernels, attesting the distributed execution is value-identical.  The
+# row_key = md5(doc_id:lang:source:text) recomputed from the documents
+# view makes one golden file self-selecting for any sf directory.
+# ---------------------------------------------------------------------------
+
+_GOLDENS = os.path.join(_REPO, "learnhtml_spark", "artifacts", "goldens")
+
+_ROWKEY_CTE = r"""
+gd as (
+  select md5(cast(doc_id as varchar) || ':' || lang || ':' || source || ':' || text) as row_key
+  from documents
+)
+"""
+
+_EXTRACT_SPANS_SQL = (
+    "with " + _ROWKEY_CTE
+    + f"select g.* exclude (row_key) from read_parquet('{_GOLDENS}/spans.parquet') g "
+    + "join gd using (row_key)"
+)
+
+_NODE_FEATURES_SQL = (
+    "with " + _ROWKEY_CTE
+    + f"select g.* exclude (row_key) from read_parquet('{_GOLDENS}/features.parquet') g "
+    + "join gd using (row_key)"
+)
+
+_LABEL_RATIOS_SQL = (
+    "with " + _ROWKEY_CTE
+    + f"select g.* exclude (row_key) from read_parquet('{_GOLDENS}/labels.parquet') g "
+    + "join gd using (row_key)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_spans": _EXTRACT_SPANS_SQL,
+        "node_features": _NODE_FEATURES_SQL,
+        "label_ratios": _LABEL_RATIOS_SQL,
         "token_stats": _STATS_SQL,
         "quality": _QUALITY_SQL,
         "lang_id": _LANG_SQL,
