@@ -402,14 +402,24 @@ where cast(n_common as double) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
 _MINHASH_SQL = r"""
 with
 """ + _SHINGLES_CTE + r""",
+hashed as (
+  select doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint as h
+  from sh
+),
+consts as (
+  select unnest(range(1, 17)) as hj,
+         unnest({_MH_A}::bigint[]) as a,
+         unnest({_MH_B}::bigint[]) as b
+),
 hashes as (
-  select doc_id, h.h as h, min(md5(cast(h.h as varchar) || ':' || shingle)) as minhash
-  from sh, (select unnest(range(1, 17)) as h) h
-  group by doc_id, h.h
+  select doc_id, c.hj as h,
+         min((c.a * hashed.h + c.b) % 2147483647) as minhash
+  from hashed, consts c
+  group by doc_id, c.hj
 ),
 bands as (
   select doc_id, cast((h - 1) // 4 as int) as band,
-         string_agg(minhash, '|' order by minhash) as band_sig
+         string_agg(cast(minhash as varchar), '|' order by minhash) as band_sig
   from hashes group by doc_id, band
 )
 select distinct a.doc_a, a.doc_b from (
@@ -418,6 +428,14 @@ select distinct a.doc_a, a.doc_b from (
   where x.doc_id < y.doc_id
 ) a
 """
+
+# embed the same universal-hash constants the Spark side uses
+from learnhtml_spark.functions.dedup import _mh_constants as _mhc
+
+_A16, _B16 = _mhc(16)
+_MINHASH_SQL = _MINHASH_SQL.replace(
+    "{_MH_A}", "[" + ", ".join(map(str, _A16)) + "]"
+).replace("{_MH_B}", "[" + ", ".join(map(str, _B16)) + "]")
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
 # final signature cast to bigint explicitly (DuckDB sum() widens to

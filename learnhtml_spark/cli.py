@@ -6,6 +6,8 @@ Commands:
   extract   docs parquet (doc_id, spans) -> extracted span parquet
   features  docs parquet -> per-node feature parquet (reference `dom`)
   train     train the classifier from fixture + synthetic corpora
+  label     dragnet/cleaneval dataset dir -> per-node label parquet
+            (reference `convert`, cli/utils.py:50-80)
   extract-html  one HTML file -> content block texts on stdout
 """
 
@@ -73,6 +75,80 @@ def cmd_train(args):
     )
 
 
+def cmd_label(args):
+    """Dataset conversion/labeling (reference cli/utils.py:50-80 `convert`):
+    a dragnet/cleaneval-layout directory (HTML/*.html +
+    Corrected/*.corrected.txt) -> per-node label parquet via the LCS
+    labeling operator.  File reads are distributed (binaryFile source);
+    decoding/gold-block parsing runs inside the Arrow batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from learnhtml_spark.operators.extract import label_documents
+    from learnhtml_spark.schemas import SPAN
+
+    spark = _session(args.cores)
+    enc = "latin-1" if args.cleaneval else "utf-8"
+    cleaneval = bool(args.cleaneval)
+
+    html = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(args.dataset, "HTML", "*.html"))
+        .select(
+            F.regexp_extract("path", r"([^/]+)\.html$", 1).alias("doc_id"),
+            F.col("content").alias("raw_html"),
+        )
+    )
+    gold = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(args.dataset, "Corrected", "*.corrected.txt"))
+        .select(
+            F.regexp_extract(
+                "path", r"([^/]+?)(?:\.html)?\.corrected\.txt$", 1
+            ).alias("doc_id"),
+            F.col("content").alias("raw_gold"),
+        )
+    )
+    joined = html.join(gold, "doc_id")
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("spans", ArrayType(SPAN)),
+            StructField("gold_blocks", ArrayType(StringType())),
+        ]
+    )
+
+    def gen(batches):
+        from learnhtml_spark.kernels.tokenize import get_blocks
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw_html, raw_gold in zip(
+                pdf["doc_id"], pdf["raw_html"], pdf["raw_gold"]
+            ):
+                page = bytes(raw_html).decode(enc, errors="replace")
+                blocks = get_blocks(
+                    bytes(raw_gold).decode(enc, errors="replace"),
+                    cleaneval=cleaneval,
+                )
+                spans = [
+                    {"kind": "html", "text": page, "media_ref": None, "offset": 0}
+                ]
+                rows.append((doc_id, spans, blocks))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans", "gold_blocks"])
+
+    labels = label_documents(joined.mapInPandas(gen, schema=schema))
+    labels.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+
+
 def cmd_extract_html(args):
     from learnhtml_spark.extractor import HTMLExtractor
 
@@ -113,6 +189,17 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="retrain the packaged model")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "label",
+        help="convert+label a dragnet/cleaneval dataset dir (reference `convert`)",
+    )
+    p.add_argument("dataset", help="dir with HTML/ and Corrected/ subdirs")
+    p.add_argument("--output", required=True)
+    p.add_argument("--cleaneval", action="store_true",
+                   help="cleaneval layout/encoding (default dragnet)")
+    p.add_argument("--cores", default="*")
+    p.set_defaults(fn=cmd_label)
 
     p = sub.add_parser("extract-html", help="extract one local HTML file")
     p.add_argument("file")

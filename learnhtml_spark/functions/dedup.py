@@ -109,22 +109,57 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """Wide minhash signature per doc: (doc_id, mh1..mhN) where
-    minhash_j = min over shingles of md5(j ':' shingle).  md5 is the
-    portable hash family (identical in any SQL engine), compared
-    lexicographically on the hex string.
+#: Mersenne prime 2^31-1: A_j*h (29-bit × 32-bit = 61-bit) never
+#: overflows signed-64, and the mod wraps ~2^30 times so each function
+#: induces an independent order over shingles (a modulus above A*h would
+#: never wrap, making every g_j monotone in h — same argmin everywhere)
+_MH_P = 2147483647
 
-    ONE shuffle: all N mins are aggregated in a single groupBy over the
-    shingle rows (the exploded (doc, h) form needs two)."""
-    sh = shingles(docs, k)
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
-        ).alias(f"mh{j}")
+
+def _mh_constants(num_hashes: int):
+    """Deterministic universal-hash constants (A_j odd 29-bit, B_j 28-bit)
+    derived from md5 so Spark code and SQL oracles embed identical
+    literals.  A true a*h+b family keeps the per-function argmins
+    independent — the Kirsch-Mitzenmacher form h1+j*h2 makes CONSECUTIVE
+    g_j correlated, which collapses LSH band discrimination."""
+    import hashlib as _hl
+
+    a = [
+        int(_hl.md5(f"mh:a:{j}".encode()).hexdigest()[:7], 16) * 2 + 1
         for j in range(1, num_hashes + 1)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    b = [
+        int(_hl.md5(f"mh:b:{j}".encode()).hexdigest()[:7], 16)
+        for j in range(1, num_hashes + 1)
+    ]
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Wide minhash signature per doc: (doc_id, mh1..mhN) where
+    minhash_j = min over shingles of (A_j*h + B_j) mod P, h = first 8 hex
+    digits of ONE md5(shingle) — portable (DuckDB:
+    ('0x'||substr(md5,..))::bigint) and 16× cheaper than hashing every
+    shingle once per function.
+
+    ONE shuffle: all N mins are aggregated in a single groupBy over the
+    shingle rows; map-side combine collapses each partition to one row
+    per doc before the exchange."""
+    A, B = _mh_constants(num_hashes)
+    sh = shingles(docs, k)
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    aggs = [
+        F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(_MH_P)).alias(
+            f"mh{j + 1}"
+        )
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -144,13 +179,16 @@ def minhash_lsh_candidates(
                 F.lit(b).alias("band"),
                 F.concat_ws(
                     "|",
-                    F.sort_array(
-                        F.array(
-                            *[
-                                F.col(f"mh{b * band_size + j + 1}")
-                                for j in range(band_size)
-                            ]
-                        )
+                    F.transform(
+                        F.sort_array(
+                            F.array(
+                                *[
+                                    F.col(f"mh{b * band_size + j + 1}")
+                                    for j in range(band_size)
+                                ]
+                            )
+                        ),
+                        lambda c: c.cast("string"),
                     ),
                 ).alias("band_sig"),
             )

@@ -138,6 +138,7 @@ class NodeClassifier:
         seed: int = 42,
         gbdt_rounds: int = 150,
         gbdt_depth: int = 4,
+        chi2_percentile: float = 100,
     ) -> "NodeClassifier":
         xs_num, rr, ss = [], [], []
         offset = 0
@@ -155,6 +156,24 @@ class NodeClassifier:
         scale = np.abs(x_num).max(axis=0)
         scale[scale == 0] = 1.0
         x_num = x_num / scale
+
+        if chi2_percentile < 100:
+            # M7: SelectPercentile(chi2) analog (reference
+            # model_selection.py:123) over [numeric ++ hashed] post-scaler.
+            # Dropped hashed slots simply lose their training entries (their
+            # weights stay 0, so inference needs no mask); dropped numeric
+            # columns are zeroed (constant -> never split on, weight decays).
+            from learnhtml_spark.selection import (
+                chi2_percentile_mask,
+                chi2_scores,
+            )
+
+            stat = chi2_scores(x_num, rows, slots, y, HASH_DIM)
+            mask = chi2_percentile_mask(stat, chi2_percentile)
+            n_num_cols = x_num.shape[1]
+            x_num[:, ~mask[:n_num_cols]] = 0.0
+            keep = mask[n_num_cols:][slots]
+            rows, slots = rows[keep], slots[keep]
 
         n = len(y)
         pos = max(y.sum(), 1.0)

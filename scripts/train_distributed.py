@@ -93,26 +93,62 @@ def main(n_docs: int = 300):
     # grouped split by portable doc hash (reference O2/M9: whole documents
     # go to one side, never split)
     bucket = (F.abs(F.xxhash64("doc_id")) % 100)
-    train_rows = joined.filter(bucket < 80).drop(
-        "is_extracted_block", "ratio", "block_text"
-    )
-    pdf = train_rows.toPandas()
+    all_rows = joined.drop("is_extracted_block", "ratio", "block_text")
+    pdf_train = all_rows.filter(bucket < 80).toPandas()
+    pdf_hold = all_rows.filter(bucket >= 80).toPandas()
     print(
         f"distributed features+labels+join: {time.time() - t0:.1f}s, "
-        f"{len(pdf)} training block rows from {n_docs} docs"
+        f"{len(pdf_train)} train / {len(pdf_hold)} holdout block rows "
+        f"from {n_docs} docs"
     )
 
-    y = pdf.pop("content_label").astype(int).to_numpy()
-    pdf = pdf.drop(columns=["doc_id"])
-    # block stats are not part of this demonstration path (the packaged
-    # model uses them); fit on the node features alone
+    def per_doc(pdf):
+        frames, labels = [], []
+        for _, g in pdf.groupby("doc_id", sort=True):
+            labels.append(g.pop("content_label").astype(int).to_numpy())
+            frames.append(g.drop(columns=["doc_id"]).reset_index(drop=True))
+        return frames, labels
+
+    frames, labels = per_doc(pdf_train)
+    h_frames, h_labels = per_doc(pdf_hold)
+
+    # M9: randomized search over grouped folds, fanned out on the cluster
+    # (each task = one candidate on one fold, training frames broadcast
+    # once); reference model_selection.py:297-331
+    from learnhtml_spark.selection import (
+        DEFAULT_PARAM_DISTRIBUTIONS,
+        f1_score,
+        search_params,
+    )
+
     t0 = time.time()
-    model = NodeClassifier.fit([pdf], [y], epochs=300, lr=1.0, l2=1e-5,
-                               gbdt_rounds=120, gbdt_depth=4)
-    pred = model.predict(pdf)
-    acc = float((pred == y).mean())
-    print(f"fit: {time.time() - t0:.1f}s, train accuracy {acc:.4f}, "
-          f"trees {len(model.gbdt.trees)}")
+    best, results = search_params(
+        frames,
+        labels,
+        DEFAULT_PARAM_DISTRIBUTIONS,
+        n_iter=int(os.environ.get("SEARCH_ITERS", "8")),
+        n_folds=3,
+        seed=42,
+        spark=spark,
+    )
+    top = results.drop_duplicates("candidate").nlargest(3, "mean_f1")
+    print(f"search: {time.time() - t0:.1f}s over "
+          f"{results['candidate'].nunique()} candidates x 3 grouped folds")
+    print("top candidates:\n", top.to_string(index=False))
+    print("best params:", best)
+
+    # refit on all training docs with the selected params
+    t0 = time.time()
+    model = NodeClassifier.fit(frames, labels, **best)
+    pred_tr = np.concatenate([np.asarray(model.predict(f)) for f in frames])
+    y_tr = np.concatenate(labels)
+    acc = float((pred_tr == (y_tr > 0.5)).mean())
+    # honest score: untouched grouped holdout
+    pred_h = np.concatenate([np.asarray(model.predict(f)) for f in h_frames])
+    y_h = np.concatenate(h_labels)
+    f1_h = f1_score(y_h > 0.5, pred_h)
+    print(f"refit: {time.time() - t0:.1f}s, train accuracy {acc:.4f}, "
+          f"holdout F1 {f1_h:.4f}, trees {len(model.gbdt.trees)}")
 
     out = "/tmp/model_distributed.npz"
     model.save(out)

@@ -88,3 +88,38 @@ def test_cli_extract_html(fixture_docs, tmp_path):
     )
     assert r2.returncode == 0
     assert all(p.startswith("/html") for p in r2.stdout.splitlines() if p.strip())
+
+
+def test_cli_label_dataset_dir(spark, tmp_path):
+    """`label` subcommand (reference cli/utils.py:50-80 `convert`): a
+    dragnet-layout dataset dir -> per-node label parquet, values equal to
+    a direct get_ratios_per_html run."""
+    import pandas as pd
+
+    from learnhtml_spark.kernels.labeling import get_ratios_per_html
+    from learnhtml_spark.kernels.tokenize import get_blocks
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "labels_parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "learnhtml_spark.cli", "label",
+         os.path.join(fix, "dragnet"), "--output", out, "--cores", "4"],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = pd.read_parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "node_path", "content_label", "ratio",
+        "is_extracted_block", "block_text",
+    }
+    # cross-check one document against the kernel run
+    html = open(os.path.join(fix, "dragnet/HTML/R578.html"), encoding="utf-8").read()
+    gold = get_blocks(
+        open(os.path.join(fix, "dragnet/Corrected/R578.html.corrected.txt"),
+             encoding="utf-8").read())
+    want = {p: r_ for p, r_, _ in get_ratios_per_html(html, gold)}
+    doc = got[got["doc_id"] == "R578"].set_index("node_path")
+    assert len(doc) == len(want)
+    for p, ratio in want.items():
+        assert abs(doc.loc[p, "ratio"] - ratio) < 1e-9
