@@ -125,6 +125,9 @@ class NodeClassifier:
         self.scale = scale
         self.threshold = threshold
         self.gbdt = gbdt
+        #: optional deep head (M8 variant; in-memory only — the packaged
+        #: npz model always ships the GBDT head)
+        self.mlp = None
 
     # -- training ----------------------------------------------------------
     @classmethod
@@ -139,6 +142,8 @@ class NodeClassifier:
         gbdt_rounds: int = 150,
         gbdt_depth: int = 4,
         chi2_percentile: float = 100,
+        head: str = "gbdt",
+        mlp_params: dict | None = None,
     ) -> "NodeClassifier":
         xs_num, rr, ss = [], [], []
         offset = 0
@@ -198,7 +203,16 @@ class NodeClassifier:
             b -= lr * g.sum()
         model = cls(w_n, w_h, float(b), scale)
 
-        if gbdt_rounds > 0:
+        if head == "mlp":
+            # M8 deep variant (reference utils/keras.py create_model via
+            # DEEP_TUNABLE): numpy MLP over [scaled numeric ++ logit score]
+            from learnhtml_spark.mlp import MLPClassifier
+
+            logit_score = x_num @ w_n + b
+            np.add.at(logit_score, rows, w_h[slots])
+            x_deep = np.column_stack([x_num, logit_score])
+            model.mlp = MLPClassifier(**(mlp_params or {})).fit(x_deep, y)
+        elif gbdt_rounds > 0:
             from learnhtml_spark.gbdt import GBDTClassifier
 
             logit_score = x_num @ w_n + b
@@ -223,6 +237,8 @@ class NodeClassifier:
 
     def predict_proba(self, frame: pd.DataFrame) -> np.ndarray:
         x_scaled, z = self._logit_and_numeric(frame)
+        if self.mlp is not None:
+            return self.mlp.predict_proba(np.column_stack([x_scaled, z]))
         if self.gbdt is not None:
             return self.gbdt.predict_proba(np.column_stack([x_scaled, z]))
         return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
