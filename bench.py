@@ -113,7 +113,7 @@ SPANS_TABLE = "/tmp/bench_spans_table"
 #: measurable efficiency at ~0.85 even on a quiet box; at ×32 the
 #: asymptote is ~0.90 (the box's own 4→16 pure-CPU ceiling is 0.93,
 #: measured with a zero-communication multiprocessing burn)
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "24"))
 
 
 def materialize_spans_table(n_files: int) -> int:
@@ -210,8 +210,8 @@ def main():
 
     # adaptive: run pair-cycles until 3 are probe-certified clean, up to
     # max(n_cycles, 8) cycles or the time budget, whichever first
-    max_cycles = max(n_cycles, 8)
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "840"))
+    max_cycles = max(n_cycles, 7)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "720"))
     loop_t0 = time.time()
     cycle = 0
     while cycle < max_cycles:
@@ -232,7 +232,12 @@ def main():
         if cycle >= n_cycles:
             best_rate = max(r for pl in probes for r in pl)
             n_clean = sum(1 for pl in probes if min(pl) >= 0.94 * best_rate)
-            if n_clean >= 3 or time.time() - loop_t0 > budget_s:
+            n_steady = sum(1 for pl in probes if max(pl) / min(pl) <= 1.18)
+            if (
+                n_clean >= 3
+                or n_steady >= 3
+                or time.time() - loop_t0 > budget_s
+            ):
                 break
     w_full = timed_run(CPUS, False)
     eff_full_samples.append((walls[SMALL] / w_full) / (CPUS / SMALL))
@@ -255,21 +260,32 @@ def main():
 
     # --- noise-certified efficiency ----------------------------------------
     # A cycle's ratio is only meaningful if the machine was comparably
-    # fast around BOTH runs of the pair (co-tenant steal is bursty).  A
-    # cycle is CLEAN when all 4 probe rates are within 6% of the fastest
-    # rate seen anywhere in the run.  The selection requires both sides
-    # quiet — it cannot inflate the ratio, only reject windows where one
-    # side was unfairly slowed.  Raw per-cycle samples stay in the JSON.
+    # fast around BOTH runs of the pair (co-tenant steal is bursty and
+    # hits the 4N run harder than the N run).  Tiers:
+    #   1. CLEAN cycles: all 4 probe rates within 6% of the fastest rate
+    #      seen in the whole run (machine genuinely quiet for the pair);
+    #   2. STEADY cycles: the 4 probes mutually within 18% (conditions
+    #      stable across the pair, so the differential bias is bounded
+    #      even if the absolute level is depressed);
+    #   3. fallback: all samples.
+    # Median within the best tier with >= 2 members.  Selection requires
+    # BOTH sides of a pair measured under like conditions — it rejects
+    # windows where one side was unfairly slowed; it cannot manufacture
+    # speed.  All raw samples + probe rates stay in the JSON.
     best_rate = max(r for pl in probes for r in pl)
-    clean = [
-        i
-        for i, pl in enumerate(probes)
-        if min(pl) >= 0.94 * best_rate
-    ]
-    chosen = [eff_samples[i] for i in clean] if len(clean) >= 2 else eff_samples
+    clean = [i for i, pl in enumerate(probes) if min(pl) >= 0.94 * best_rate]
+    steady = [i for i, pl in enumerate(probes) if max(pl) / min(pl) <= 1.18]
+    if len(clean) >= 2:
+        chosen, tier = [eff_samples[i] for i in clean], "clean"
+    elif len(steady) >= 2:
+        chosen, tier = [eff_samples[i] for i in steady], "steady"
+    else:
+        chosen, tier = eff_samples, "all"
     result["scaling_efficiency"] = round(median(chosen), 3)
     result["scaling_efficiency_samples"] = [round(e, 3) for e in eff_samples]
+    result["noise_tier"] = tier
     result["clean_cycles"] = clean
+    result["steady_cycles"] = steady
     result["probe_rates_rel"] = [
         [round(r / best_rate, 3) for r in pl] for pl in probes
     ]
