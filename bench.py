@@ -254,6 +254,9 @@ def main():
     result["wall_sec_best"] = {
         f"local{c}": min(w) for c, w in cycle_walls.items()
     }
+    result["docs_per_sec_best"] = {
+        f"local{c}": round(n_docs / min(w), 2) for c, w in cycle_walls.items()
+    }
     result["cycle_walls"] = {f"local{c}": w for c, w in cycle_walls.items()}
     result["value"] = round(median(cycle_walls[CPUS]), 3)
     result["n_docs"] = n_docs
