@@ -153,6 +153,15 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=16, band_size=4)
 
 
+def q_neardup_pipe(spark, sf_dir):
+    # the 100 TB dedup pipeline: LSH candidates -> exact Jaccard verify
+    # over candidate pairs ONLY (ngram_jaccard is the corpus-wide oracle
+    # form of the verification step)
+    from learnhtml_spark.functions.dedup import neardup_pairs
+
+    return neardup_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
 def q_simhash(spark, sf_dir):
     from learnhtml_spark.functions.dedup import simhash
 
@@ -272,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_pipe": q_neardup_pipe,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
@@ -399,7 +409,7 @@ join sizes sb on sb.doc_id = doc_b
 where cast(n_common as double) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
 """
 
-_MINHASH_SQL = r"""
+_MINHASH_CTES = r"""
 with
 """ + _SHINGLES_CTE + r""",
 hashed as (
@@ -421,21 +431,49 @@ bands as (
   select doc_id, cast((h - 1) // 4 as int) as band,
          string_agg(cast(minhash as varchar), '|' order by minhash) as band_sig
   from hashes group by doc_id, band
-)
-select distinct a.doc_a, a.doc_b from (
-  select x.doc_id as doc_a, y.doc_id as doc_b
+),
+cand as (
+  select distinct x.doc_id as doc_a, y.doc_id as doc_b
   from bands x join bands y on x.band = y.band and x.band_sig = y.band_sig
   where x.doc_id < y.doc_id
-) a
+)
+"""
+
+_MINHASH_SQL = _MINHASH_CTES + r"""
+select doc_a, doc_b from cand
+"""
+
+_NEARDUP_PIPE_SQL = _MINHASH_CTES + r""",
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as (
+  select c.doc_a, c.doc_b, count(*) as n_common
+  from cand c
+  join sh a on a.doc_id = c.doc_a
+  join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
+  group by 1, 2
+)
+select i.doc_a, i.doc_b,
+       round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) as jaccard
+from inter i
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
+where round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) >= 0.4
 """
 
 # embed the same universal-hash constants the Spark side uses
 from learnhtml_spark.functions.dedup import _mh_constants as _mhc
 
 _A16, _B16 = _mhc(16)
-_MINHASH_SQL = _MINHASH_SQL.replace(
-    "{_MH_A}", "[" + ", ".join(map(str, _A16)) + "]"
-).replace("{_MH_B}", "[" + ", ".join(map(str, _B16)) + "]")
+
+
+def _sub_mh(sql: str) -> str:
+    return sql.replace(
+        "{_MH_A}", "[" + ", ".join(map(str, _A16)) + "]"
+    ).replace("{_MH_B}", "[" + ", ".join(map(str, _B16)) + "]")
+
+
+_MINHASH_SQL = _sub_mh(_MINHASH_SQL)
+_NEARDUP_PIPE_SQL = _sub_mh(_NEARDUP_PIPE_SQL)
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
 # final signature cast to bigint explicitly (DuckDB sum() widens to
@@ -651,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
+        "neardup_pipe": _NEARDUP_PIPE_SQL,
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,

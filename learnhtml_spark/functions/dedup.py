@@ -241,3 +241,51 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         .alias("simhash"),
     )
     return sig
+
+
+def neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The 100 TB dedup pipeline: MinHash-LSH candidate generation, then
+    exact Jaccard verification over CANDIDATE PAIRS ONLY — never the
+    corpus-wide shingle self-join (``ngram_jaccard_pairs`` exists as the
+    small-scale/oracle form of that verification).
+
+    (doc_a, doc_b, jaccard) for candidates with jaccard >= threshold.
+
+    Plan shape: candidates are tiny relative to the corpus (bounded by
+    band collisions), so both verification joins hash-partition the
+    shingle table once each and AQE broadcast-converts the candidate
+    side when it fits; per-doc shingle counts come narrow, pre-explode."""
+    cand = minhash_lsh_candidates(docs, num_hashes, band_size, k)
+    sh = shingles(docs, k)
+    sizes = docs.select("doc_id", F.size(_shingle_array(docs, k)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

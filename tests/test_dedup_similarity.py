@@ -133,3 +133,21 @@ def test_sibling_positions_no_whole_group_window(spark):
     for line in plan.splitlines():
         if "row_number()" in line and "_local" in line:
             assert "_pid" in line.split("windowspecdefinition")[-1]
+
+
+def test_neardup_pipeline_candidates_only(docs):
+    """LSH candidates -> exact Jaccard verification over candidates only;
+    jaccard values must equal the corpus-wide join's for shared pairs."""
+    from learnhtml_spark.functions.dedup import neardup_pairs, ngram_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in neardup_pairs(docs, threshold=0.2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    for pair, j in got.items():
+        assert full[pair] == j
