@@ -14,9 +14,14 @@ NOTES = {
     "extract_spans": "scan -> python stage, no shuffle",
     "node_features": "scan -> python stage, no shuffle",
     "label_ratios": "scan -> python stages, no shuffle",
-    "minhash_lsh": "sig agg + band self-join + distinct (wide-agg form)",
+    "minhash_lsh": "sig agg (1 shuffle, 16 mins in one groupBy) + band self-join + distinct",
+    "neardup_pipe": "LSH candidates -> Jaccard verify over candidate pairs only",
+    "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
+    "ann_topk": "bucketed candidates, norms precomputed, rank window per vec_id",
+    "sibling_pos": "two-phase rank: range exchange + (pid,group) window + broadcast offsets",
+    "embedding_neardup": "bucket join, norms once per vector",
     "ngram_jaccard": "shingle self-join + size joins (broadcast) — exact verify step",
-    "cosine_topk": "deliberate O(n^2) baseline; rank window partitioned by vec_id",
+    "cosine_topk": "broadcast corpus matmul in one python stage (exact baseline; ann_topk is the scale path)",
     "source_rollup": "dim broadcast (BroadcastHashJoin), partial aggs map-side",
     "token_stats": "pure narrow plan",
     "quality": "pure narrow plan",
@@ -86,6 +91,11 @@ def main():
             note = (note + "; broadcast join").strip("; ")
         lines.append(f"| {name} | {t.count('Exchange')} | {note} |")
     lines += [
+        "",
+        "Counts are raw `Exchange` node occurrences in explain('formatted') —",
+        "they include BroadcastExchange (cheap, deliberate) and AQE-reused",
+        "exchanges printed in multiple subtrees, so they upper-bound the",
+        "number of distinct data shuffles.",
         "",
         "Higher-order functions run JVM-side but outside WholeStageCodegen —",
         "acceptable: projection-only, no shuffle.",
