@@ -1,0 +1,115 @@
+"""Streaming tests: watermarked hourly windows (late data lands in its
+window) and the applyInPandasWithState running counter (state survives
+across micro-batches and restarts from the same checkpoint)."""
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+
+
+def _write_events(path, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    # microsecond precision: pandas' default ns-int64 parquet encoding is
+    # unreadable by Spark's timestamp reader
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path, index=False)
+
+
+T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+
+def test_hourly_rollup_stream_handles_late_rows(spark, tmp_path):
+    from learnhtml_spark.streaming.events_stream import (
+        hourly_rollup_stream,
+        read_events_stream,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    # batch 1: two events at 10:xx, one at 11:xx
+    _write_events(
+        ind / "a.parquet",
+        [
+            (1, T0 + dt.timedelta(minutes=5), 1, "click", 1.0, ""),
+            (2, T0 + dt.timedelta(minutes=50), 2, "click", 2.0, ""),
+            (3, T0 + dt.timedelta(minutes=70), 1, "view", 4.0, ""),
+        ],
+    )
+    # batch 2 (same availableNow drain): a LATE 10:xx row — within the
+    # 2h watermark, must still count into the 10:00 window
+    _write_events(
+        ind / "b.parquet",
+        [(4, T0 + dt.timedelta(minutes=20), 3, "click", 8.0, "")],
+    )
+    out = hourly_rollup_stream(read_events_stream(spark, str(ind)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from hourly_test").collect()
+    }
+    assert got[("2026-01-01 10", "click")] == (3, 11.0)
+    assert got[("2026-01-01 11", "view")] == (1, 4.0)
+
+
+def test_running_user_counts_state_survives_restart(spark, tmp_path):
+    from learnhtml_spark.streaming.events_stream import (
+        read_events_stream,
+        running_user_counts,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        ind / "a.parquet",
+        [
+            (1, T0, 1, "click", 1.0, ""),
+            (2, T0, 1, "click", 2.0, ""),
+            (3, T0, 2, "view", 5.0, ""),
+        ],
+    )
+
+    def drain(name):
+        # memory sink cannot recover from a checkpoint — use foreachBatch
+        # with a durable parquet append (update-mode semantics preserved:
+        # each batch emits only the keys it touched)
+        outdir = str(tmp_path / name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outdir)
+
+        out = running_user_counts(read_events_stream(spark, str(ind)))
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    got1 = drain("running_1")
+    assert got1[1] == (2, 3.0) and got1[2] == (1, 5.0)
+
+    # restart from the same checkpoint with NEW data only: counts must
+    # CONTINUE from persisted state, and only touched keys re-emit
+    _write_events(ind / "b.parquet", [(4, T0, 1, "click", 10.0, "")])
+    got2 = drain("running_2")
+    assert got2[1] == (3, 13.0)
+    assert 2 not in got2  # untouched key emits nothing in update mode
