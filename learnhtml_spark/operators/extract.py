@@ -214,18 +214,35 @@ def extract_node_features(
     names = schema.fieldNames()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
         for pdf in batches:
-            frames = []
+            # column dicts per doc, ONE DataFrame per batch: the pandas
+            # constructor on 100+ columns costs ~4× the feature kernel
+            # itself when built per doc
+            col_dicts = []
+            doc_ids = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 html, _ = html_from_spans(_spans_list(spans))
                 root = parse_html(html) if html else None
                 if root is None:
                     continue
-                f = extract_features_from_tree(root, depth, height)
-                f.insert(0, "doc_id", doc_id)
-                frames.append(f)
-            if frames:
-                out = pd.concat(frames, ignore_index=True)[names]
+                d = extract_features_from_tree(
+                    root, depth, height, as_columns=True
+                )
+                col_dicts.append(d)
+                doc_ids.extend([doc_id] * len(d["path"]))
+            if col_dicts:
+                merged = {"doc_id": doc_ids}
+                for k in col_dicts[0]:
+                    first = col_dicts[0][k]
+                    if isinstance(first, np.ndarray):
+                        merged[k] = np.concatenate([d[k] for d in col_dicts])
+                    else:
+                        merged[k] = list(
+                            chain.from_iterable(d[k] for d in col_dicts)
+                        )
+                out = pd.DataFrame(merged, columns=names)
             else:
                 out = pd.DataFrame(columns=names)
             yield out
