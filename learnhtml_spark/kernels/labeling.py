@@ -65,10 +65,38 @@ def get_text_blocks(html: str) -> list[tuple[str, str]]:
 def get_ratios_per_html(html: str, gold_standard: list[str]):
     """Rows (node_path, ratio, block_text) for EVERY node of the document
     (comments included), defaulting non-block nodes to the sentinel ratio —
-    conversion.py:133-148."""
-    ratio_dict = dict(get_block_ratios(html, gold_standard))
-    text_dict = dict(get_text_blocks(html))
+    conversion.py:133-148.
+
+    Single parse + single blockify (the helper-composed form parsed the
+    document three times; values identical — dict() keeps the LAST
+    duplicate path either way)."""
     root = parse_html(html, remove_comments=False, remove_pis=False)
+    blocks = blocks_from_tree(root, do_css=False)
+
+    block_tokens = [
+        (
+            getpath(blk.features["block_start_element"]),
+            simple_tokenizer(blk.text),
+            blk.text,
+        )
+        for blk in blocks
+    ]
+    all_gold = [t for gb in gold_standard for t in simple_tokenizer(gb)]
+    all_block = [t for _, toks, _ in block_tokens for t in toks]
+
+    inclusions = check_inclusion(all_block, all_gold)
+    ratio_dict: dict = {}
+    text_dict: dict = {}
+    pos = 0
+    for path, toks, text in block_tokens:
+        num = 0
+        for _ in toks:
+            if inclusions[pos]:
+                num += 1
+            pos += 1
+        ratio_dict[path] = (num / len(toks)) if toks else 0.0
+        text_dict[path] = text
+
     rows = []
     for node in root.iter():
         path = getpath(node)
