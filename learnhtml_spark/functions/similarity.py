@@ -1,52 +1,171 @@
 """Similarity search over an embedding column (array<float>).
 
 - ``cosine_topk``: brute-force exact top-k neighbors — the correctness
-  baseline.  O(n²) dot products via built-in higher-order functions
-  (zip_with/aggregate — JVM-side, no Python).  At 100 TB scale this is the
-  verification step applied to candidate pairs only.
-- ``hyperplane_lsh_buckets`` / ``ann_lsh_topk``: the scale path — random
-  hyperplanes derived deterministically from md5 (portable to the SQL
-  oracle), sign-pattern bucketing, then exact cosine within buckets.
-  Bucket fan-out keeps the join linear-ish; recall is tunable via bits.
+  baseline.  The corpus is broadcast once (the same data movement a
+  broadcast join performs for its build side) and each Arrow batch does
+  ONE numpy (batch × corpus) matmul; a row-count guard refuses corpora
+  too large to broadcast and points at ``ann_lsh_topk``.
+- ``hyperplane_lsh_buckets`` / ``ann_lsh_topk`` / ``embedding_neardup_pairs``:
+  the scale path — random hyperplanes derived deterministically from md5
+  (portable to the SQL oracle), sign-pattern bucketing, then exact cosine
+  within buckets only.
+
+Plan economics (the round-2 lesson): the plane matrix depends only on
+(bit, dim) — it is a CONSTANT.  Deriving it per row × bit × dim with
+interpreted ``conv(substr(md5(...)))`` expressions cost ~355 s on 2,000
+vectors; precomputing it once in Python (same md5 derivation, so the
+DuckDB oracle is unchanged) and folding inside an Arrow batch brings the
+whole ANN query to seconds.  All kernels here are ``mapInPandas`` /
+``applyInPandas`` — no per-row Python, no interpreted higher-order
+lambdas in hot paths.
+
+Rounding: sims and projections are rounded to 6 dp with HALF-AWAY-FROM-ZERO
+(``_round6``), matching Spark's ``F.round`` (BigDecimal HALF_UP) and
+DuckDB's ``round`` — NOT numpy's default banker's rounding, which differs
+on exact 5e-7 boundaries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_MAX_BROADCAST_ROWS = 200_000  # ~100 MB at 64 float64 dims — broadcast ceiling
 
-def _norm(col):
-    return F.sqrt(
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+
+def _round6(x):
+    """round(x, 6) half-away-from-zero — Spark/DuckDB ``round`` semantics
+    (numpy's np.round is half-to-even; ADVICE r2 flagged the mismatch)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _plane_matrix(bits: int, dims: int):
+    """Deterministic (bits × dims) hyperplane matrix: component (b, d) is
+    nibble(md5('b:d')) - 7.5 in [-7.5, 7.5] — the exact derivation the
+    DuckDB oracle replays with strpos('0123456789abcdef', substr(md5(...)))
+    (see __spark_entry__._ANN_BUCKETS_SQL).  Each component is k - 7.5,
+    k ∈ 0..15 — exactly representable in float64, so precomputing here is
+    bit-identical to the former per-row Catalyst expression."""
+    import numpy as np
+
+    m = np.empty((bits, dims), dtype=np.float64)
+    for b in range(bits):
+        for d in range(dims):
+            nib = hashlib.md5(f"{b}:{d}".encode()).hexdigest()[0]
+            m[b, d] = int(nib, 16) - 7.5
+    return m
+
+
+def _bucket_codes(emb_mat, bits: int):
+    """Bucket id per row: sign pattern of the ``bits`` plane projections.
+
+    The projection fold runs dim-by-dim (vectorized across rows × bits) so
+    the float64 addition ORDER matches a sequential left-fold — the same
+    associativity as Spark's ``F.aggregate`` and DuckDB's ``list_sum`` —
+    then rounds at 6 dp before the sign test, so engine-specific matmul
+    associativity cannot flip a bucket."""
+    import numpy as np
+
+    n, dims = emb_mat.shape
+    planes = _plane_matrix(bits, dims)
+    proj = np.zeros((n, bits), dtype=np.float64)
+    for d in range(dims):
+        proj += emb_mat[:, d : d + 1] * planes[:, d]
+    signs = _round6(proj) > 0
+    return (signs * (1 << np.arange(bits))).sum(axis=1).astype(np.int32)
+
+
+def _emb_f64(series):
+    """Stack an Arrow list<float> column into an (n × dims) float64 matrix.
+    float32 → float64 widening is exact, matching ``embedding[d]::double``."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _id_schema(embeddings: DataFrame) -> str:
+    return (
+        "vec_id long"
+        if dict(embeddings.dtypes)["vec_id"] == "bigint"
+        else "vec_id string"
     )
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _topk_pairs(q_ids, cand_ids, sims, k):
+    """Vectorized top-k over a (queries × candidates) rounded-sim matrix
+    with exact (-sim, neighbor_id ASC) ordering and self-exclusion.
+
+    sims are 6-dp-rounded, so ``sim * 1e6`` is an exact integer and the
+    composite int64 key ``-sim_int * 2^32 + id`` reproduces the
+    (-sim, id) lexicographic order bit-for-bit — one argsort instead of a
+    Python lexsort per query row.  Requires non-negative int ids < 2^32
+    (callers fall back to the per-row lexsort otherwise).  Returns
+    (qi, ci, ranks) index arrays into q_ids / cand_ids."""
+    import numpy as np
+
+    sim_int = np.rint(sims * 1e6).astype(np.int64)
+    key = -sim_int * (1 << 32) + cand_ids[None, :].astype(np.int64)
+    # self matches sort last (key = +max), so non-self ranks stay 1..kk
+    key = np.where(
+        q_ids[:, None] == cand_ids[None, :], np.iinfo(np.int64).max, key
+    )
+    kk = min(k, len(cand_ids))
+    idx = np.argpartition(key, kk - 1, axis=1)[:, :kk] if kk < len(cand_ids) \
+        else np.broadcast_to(np.arange(kk), (len(q_ids), kk)).copy()
+    order = np.argsort(np.take_along_axis(key, idx, axis=1), axis=1)
+    idx = np.take_along_axis(idx, order, axis=1)
+    qi = np.repeat(np.arange(len(q_ids)), kk)
+    ci = idx.ravel()
+    ranks = np.tile(np.arange(1, kk + 1), len(q_ids))
+    keep = q_ids[qi] != cand_ids[ci]
+    return qi[keep], ci[keep], ranks[keep]
+
+
+def _ids_vectorizable(ids) -> bool:
+    import numpy as np
+
+    return (
+        np.issubdtype(np.asarray(ids).dtype, np.integer)
+        and len(ids) > 0
+        and ids.min() >= 0
+        and ids.max() < (1 << 32)
     )
 
 
 def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, sim,
-    rank); ties broken by neighbor_id; sim rounded for float-stable
-    comparison.
+    rank); ties broken by neighbor_id; sim rounded (HALF_UP) for
+    float-stable comparison.
 
-    Plan shape: the corpus matrix is broadcast once — the same data
-    movement a broadcast join performs for its build side (exact
-    all-pairs needs the corpus whole by definition; the scale path is
-    ``ann_lsh_topk``); each Arrow batch then does ONE numpy
-    (batch × corpus) matmul + top-k instead of a BroadcastNestedLoopJoin
-    evaluating a per-pair aggregate lambda (~15× faster, same values).
-    Zero shuffles, embarrassingly parallel over the query rows."""
+    EAGER at call time: the corpus is counted and collected to the driver
+    (the explicit broadcast build side of an all-pairs comparison — exact
+    top-k needs the whole corpus against every row by definition).  A
+    row-count guard caps the collect at ``_MAX_BROADCAST_ROWS``; beyond
+    that the right tool is ``ann_lsh_topk`` (bucketed, no driver
+    materialization).  Each Arrow batch then does ONE numpy
+    (batch × corpus) matmul + top-k: zero shuffles, embarrassingly
+    parallel over the query rows."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    rows = embeddings.select("vec_id", "embedding").collect()
+    # limit(cap+1): one job, and the driver never materializes more than
+    # cap+1 rows even when the corpus is huge — the guard IS the collect
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .limit(_MAX_BROADCAST_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_BROADCAST_ROWS:
+        raise ValueError(
+            f"cosine_topk is the exact all-pairs baseline and broadcasts the "
+            f"corpus (> cap {_MAX_BROADCAST_ROWS} rows); use ann_lsh_topk "
+            f"(LSH-bucketed, distributed) for large corpora."
+        )
     ids = np.array([r["vec_id"] for r in rows])
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -57,15 +176,28 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     def run(batches):
         all_ids, all_mat, all_norms = bc.value
         unit = all_mat / all_norms[:, None]
+        fast_ids = _ids_vectorizable(all_ids)
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = _emb_f64(pdf["embedding"])
             qn = np.sqrt((q * q).sum(axis=1))
             qn[qn == 0] = 1.0
-            sims = np.round((q / qn[:, None]) @ unit.T, 6)
+            sims = _round6((q / qn[:, None]) @ unit.T)
+            q_ids = pdf["vec_id"].to_numpy()
+            if fast_ids:
+                qi, ci, ranks = _topk_pairs(q_ids, all_ids, sims, k)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": q_ids[qi],
+                        "neighbor_id": all_ids[ci],
+                        "sim": sims[qi, ci],
+                        "rank": ranks,
+                    }
+                )
+                continue
             out_rows = []
-            for i, vid in enumerate(pdf["vec_id"]):
+            for i, vid in enumerate(q_ids):
                 s = sims[i]
                 # exclude self, then top-k by (-sim, neighbor_id); full
                 # lexsort — rounded sims create tie plateaus that a
@@ -78,59 +210,50 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
                 out_rows, columns=["vec_id", "neighbor_id", "sim", "rank"]
             )
 
-    schema = (
-        "vec_id long, neighbor_id long, sim double, rank int"
-        if dict(embeddings.dtypes)["vec_id"] == "bigint"
-        else "vec_id string, neighbor_id string, sim double, rank int"
-    )
+    id_t = _id_schema(embeddings).split(" ")[1]
+    schema = f"vec_id {id_t}, neighbor_id {id_t}, sim double, rank int"
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
-
-
-def _plane_component(b, d):
-    """Deterministic pseudo-random plane component in [-7.5, 7.5]:
-    nibble(md5('b:d')) - 7.5 — reproducible in any engine with md5."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", b.cast("string"), d.cast("string"))), 1, 1),
-            16,
-            10,
-        ).cast("double")
-        - 7.5
-    )
 
 
 def hyperplane_lsh_buckets(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     """(vec_id, bucket): sign pattern of ``bits`` deterministic hyperplane
-    projections.  Projections are rounded before the sign test so float
-    associativity cannot flip a bucket between engines."""
-    dims = F.size("embedding")
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.sequence(F.lit(0), dims - 1),
-                    lambda x, d: x.cast("double") * _plane_component(b, d),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ),
-    )
-    bucket = F.aggregate(
-        F.zip_with(
-            proj,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda p, b: F.when(
-                p > 0, F.pow(F.lit(2.0), b.cast("double")).cast("int")
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return embeddings.select("vec_id", bucket.alias("bucket"))
+    projections.  One narrow mapInPandas — no shuffle, no join; the plane
+    matrix is a process-level constant (see ``_plane_matrix``)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = _bucket_codes(_emb_f64(pdf["embedding"]), bits)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": codes})
+
+    schema = _id_schema(embeddings) + ", bucket int"
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
+
+
+def _bucketed(embeddings: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, bucket, embedding) in one pass — bucket computed alongside
+    the vector so the downstream groupBy shuffles the corpus exactly once
+    (round 2 recomputed the whole interpreted projection on BOTH sides of
+    a self-join; this materializes it inline instead)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = _bucket_codes(_emb_f64(pdf["embedding"]), bits)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": codes,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    schema = _id_schema(embeddings) + ", bucket int, embedding array<float>"
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
 
 
 def embedding_neardup_pairs(
@@ -139,64 +262,92 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs: LSH-bucket candidates first
     (near-identical vectors agree on every hyperplane sign with high
     probability), then exact cosine within buckets — the scale path for
-    embedding dedup.  Returns (vec_id_a, vec_id_b, sim) with sim rounded."""
-    buckets = hyperplane_lsh_buckets(embeddings, bits)
-    # norm computed ONCE per vector (narrow, pre-join) — recomputing it
-    # per candidate pair costs O(pairs × dim) instead of O(n × dim)
-    e = embeddings.join(buckets, "vec_id").withColumn(
-        "nrm", _norm(F.col("embedding"))
+    embedding dedup.  Returns (vec_id_a, vec_id_b, sim) with sim rounded.
+
+    Plan: one mapInPandas to bucket, ONE shuffle (groupBy bucket), then a
+    numpy gram matrix per bucket — O(Σ n_b²) work confined to buckets, no
+    all-pairs join, nothing on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "sim": []})
+        ids = pdf["vec_id"].to_numpy()
+        mat = _emb_f64(pdf["embedding"])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = _round6(unit @ unit.T)
+        ai, bi = np.where(
+            np.triu(np.ones((n, n), dtype=bool), 1) & (sims >= threshold)
+        )
+        a, b, s = ids[ai], ids[bi], sims[ai, bi]
+        swap = a > b  # emit (min, max) regardless of intra-bucket order
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"vec_id_a": a2, "vec_id_b": b2, "sim": s})
+
+    id_t = _id_schema(embeddings).split(" ")[1]
+    schema = f"vec_id_a {id_t}, vec_id_b {id_t}, sim double"
+    return (
+        _bucketed(embeddings, bits)
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, schema=schema)
     )
-    a = e.select(
-        "bucket",
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        "bucket",
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_id_a") < F.col("vec_id_b"))
-    sims = pairs.select(
-        "vec_id_a",
-        "vec_id_b",
-        F.round(
-            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("sim"),
-    )
-    return sims.filter(F.col("sim") >= threshold)
 
 
 def ann_lsh_topk(embeddings: DataFrame, bits: int = 6, k: int = 3) -> DataFrame:
-    """Approximate top-k: exact cosine ranking within each LSH bucket."""
-    buckets = hyperplane_lsh_buckets(embeddings, bits)
-    # norm once per vector, not per candidate pair (see neardup note)
-    e = embeddings.join(buckets, "vec_id").withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
-    a = e.select(
-        "bucket", F.col("vec_id"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        "bucket",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
-    sims = pairs.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    """Approximate top-k: exact cosine ranking within each LSH bucket.
+
+    Plan: bucket inline (mapInPandas), ONE shuffle (groupBy bucket), one
+    numpy gram matrix + per-row top-k per bucket — replaces round 2's
+    bucket self-join with interpreted per-pair zip_with/aggregate dots
+    (355 s → seconds on the same input, same oracle answers).  Recall and
+    bucket size are tuned via ``bits``; skewed buckets are bounded by
+    2^bits fan-out — at larger scale raise ``bits`` (and/or multiprobe)
+    so Σ n_b² stays linear-ish."""
+    import numpy as np
+    import pandas as pd
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "sim": [], "rank": []}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = _emb_f64(pdf["embedding"])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = _round6(unit @ unit.T)
+        if _ids_vectorizable(ids):
+            qi, ci, ranks = _topk_pairs(ids, ids, sims, k)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids[qi],
+                    "neighbor_id": ids[ci],
+                    "sim": sims[qi, ci],
+                    "rank": ranks,
+                }
+            )
+        out = []
+        for i in range(n):
+            s = sims[i]
+            cand = np.where(ids != ids[i])[0]
+            ordered = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            for rank, j in enumerate(ordered, 1):
+                out.append((ids[i], ids[j], float(s[j]), rank))
+        return pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "sim", "rank"]
+        )
+
+    id_t = _id_schema(embeddings).split(" ")[1]
+    schema = f"vec_id {id_t}, neighbor_id {id_t}, sim double, rank int"
     return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "sim", "rank")
+        _bucketed(embeddings, bits)
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, schema=schema)
     )
