@@ -6,24 +6,56 @@ many executors exist.  ``sibling_positions`` computes the identical
 ``row_number() over (partition by group order by key) - 1`` result with
 the classic two-phase distributed-rank pattern:
 
-1. range-repartition on (group, key) — every partition holds a contiguous
-   slice of each group's order, partition count scales with data;
-2. local rank inside each (partition, group) chunk — the window key is
-   (spark_partition_id, group), whose cardinality grows with the data, so
-   no single task ever sees more than one partition's rows;
-3. per-chunk counts (one tiny row per (partition, group)) are cumulated
-   into offsets and broadcast-joined back.
+1. chunk assignment: a seeded sample of (group, order) keys is collected
+   ONCE at plan-build time, sorted, and n-1 evenly spaced boundary tuples
+   are embedded as struct literals; each row's chunk id is the number of
+   boundaries ≤ its own (group, order) key — a PURE FUNCTION of the row.
+   (Round 2 derived the chunk from ``spark_partition_id()`` over a
+   ``repartitionByRange`` exchange consumed by two plan branches; if
+   ReuseExchange failed to fire, each branch could sample different range
+   boundaries and silently mispair ranks and offsets — ADVICE r2.  Literal
+   boundaries make re-evaluation bit-stable by construction.)
+2. local rank inside each (chunk, group) — the window key's cardinality
+   grows with the chunk count, so no task ever sorts a whole group;
+3. per-chunk counts (one tiny row per (chunk, group)) are cumulated into
+   offsets and broadcast-joined back.  Chunk ids are monotone in the
+   (group, order) total order, so offset-by-chunk reproduces the global
+   rank exactly.
 
-Cost: one range exchange + one chunk-local window + a broadcast of a
-``num_partitions × groups`` table — no task ever materializes a whole
-group.  Output is bit-identical to the naive window because the total
-order (group, key) is the same.
+Cost: one tiny sample job at build time, then two hash exchanges over the
+narrow (group, order) projection and a broadcast of a ``chunks × groups``
+table — no task ever materializes a whole group, and correctness never
+depends on two exchanges sampling identical range boundaries.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _chunk_boundaries(docs, group, order, n_chunks, seed=42, per_chunk=64):
+    """Sorted (group, order) boundary tuples splitting the key space into
+    ~n_chunks balanced ranges.  One count + one sample job, driver-side
+    sort of ~per_chunk × n_chunks tuples — the same work RangePartitioner
+    does internally, but the result is frozen into the plan as literals."""
+    total = docs.count()
+    if total == 0 or n_chunks <= 1:
+        return []
+    frac = min(1.0, (n_chunks * per_chunk) / float(total))
+    smp = sorted(
+        (r[0], r[1])
+        for r in docs.select(group, order).sample(False, frac, seed).collect()
+    )
+    if not smp:
+        return []
+    step = len(smp) / float(n_chunks)
+    bounds = []
+    for i in range(1, n_chunks):
+        b = smp[min(int(i * step), len(smp) - 1)]
+        if not bounds or b != bounds[-1]:  # dedupe tied boundaries
+            bounds.append(b)
+    return bounds
 
 
 def sibling_positions(
@@ -41,29 +73,40 @@ def sibling_positions(
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = docs.select(order, group).repartitionByRange(
-        num_partitions, F.col(group), F.col(order)
-    )
-    chunked = ranged.withColumn("_pid", F.spark_partition_id())
+    narrow = docs.select(order, group)
+    bounds = _chunk_boundaries(narrow, group, order, num_partitions)
 
-    # local rank within the (partition, group) chunk — high-cardinality
-    # window key, bounded by the range-partition size
-    local_w = Window.partitionBy("_pid", group).orderBy(order)
+    dtypes = dict(narrow.dtypes)
+    key = F.struct(F.col(group), F.col(order))
+    chunk = F.lit(0)
+    for g, o in bounds:
+        bnd = F.struct(
+            F.lit(g).cast(dtypes[group]).alias(group),
+            F.lit(o).cast(dtypes[order]).alias(order),
+        )
+        chunk = chunk + F.when(key >= bnd, 1).otherwise(0)
+    chunked = narrow.withColumn("_chunk", chunk)
+
+    # local rank within the (chunk, group) slice — high-cardinality window
+    # key, bounded by the sampled chunk size
+    local_w = Window.partitionBy("_chunk", group).orderBy(order)
     local = chunked.withColumn("_local", F.row_number().over(local_w) - 1)
 
-    # tiny: one row per (partition, group); cumulative offset per group
-    counts = chunked.groupBy("_pid", group).agg(F.count("*").alias("_n"))
+    # tiny: one row per (chunk, group); cumulative offset per group —
+    # chunk ids are monotone in (group, order), so summing earlier chunks'
+    # counts gives each chunk's global starting rank
+    counts = chunked.groupBy("_chunk", group).agg(F.count("*").alias("_n"))
     off_w = (
         Window.partitionBy(group)
-        .orderBy("_pid")
+        .orderBy("_chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
-    ).select("_pid", group, "_off")
+    ).select("_chunk", group, "_off")
 
     return (
-        local.join(F.broadcast(offsets), ["_pid", group])
+        local.join(F.broadcast(offsets), ["_chunk", group])
         .select(
             order,
             group,

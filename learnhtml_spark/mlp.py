@@ -89,24 +89,58 @@ class MLPClassifier:
         return ws
 
     def _forward(self, x, ws, rng=None):
+        """Returns (zs, acts, pre_acts, masks): ``acts`` are post-dropout
+        (the actual inputs fed forward, used for weight grads), ``pre_acts``
+        are pre-dropout activations (activation derivatives must be
+        evaluated on these, not the dropout-scaled values), ``masks`` are
+        the inverted-dropout keep masks (None where no dropout applied).
+
+        Dropout placement matches the reference ``create_model``
+        (utils/keras.py:88-91): only after hidden layers 2+ — the first
+        hidden layer gets no Dropout."""
         f, _ = _act(self.activation)
         acts = [x]
+        pre_acts = [x]
         zs = []
+        masks = []
         a = x
         for li, (w, b) in enumerate(ws):
             z = a @ w + b
             zs.append(z)
             if li < len(ws) - 1:
-                a = f(z)
-                if self.dropout and rng is not None:
-                    keep = (rng.random(a.shape) >= self.dropout) / (
+                a_pre = f(z)
+                a = a_pre
+                mask = None
+                if self.dropout and rng is not None and li >= 1:
+                    mask = (rng.random(a.shape) >= self.dropout) / (
                         1.0 - self.dropout
                     )
-                    a = a * keep
+                    a = a_pre * mask
+                masks.append(mask)
+                pre_acts.append(a_pre)
             else:
                 a = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+                masks.append(None)
+                pre_acts.append(a)
             acts.append(a)
-        return zs, acts
+        return zs, acts, pre_acts, masks
+
+    def _backward(self, ws, zs, acts, pre_acts, masks, delta):
+        """Per-layer (gw, gb) grads from the output-layer delta.  Dropout
+        keep masks gate the backpropagated delta (dropped units receive no
+        gradient) and activation derivatives are evaluated on PRE-dropout
+        activations — matching what Keras Dropout does (ADVICE r2)."""
+        _, dfa = _act(self.activation)
+        delta = delta[:, None] if delta.ndim == 1 else delta
+        grads = [None] * len(ws)
+        for li in range(len(ws) - 1, -1, -1):
+            grads[li] = (acts[li].T @ delta, delta.sum(axis=0))
+            if li > 0:
+                delta = delta @ ws[li][0].T
+                if masks[li - 1] is not None:
+                    delta = delta * masks[li - 1]
+                delta = delta * dfa(zs[li - 1], pre_acts[li])
+        return grads
 
     # -- API ----------------------------------------------------------------
     def fit(self, x, y) -> "MLPClassifier":
@@ -129,7 +163,6 @@ class MLPClassifier:
         sw = np.where(y > 0.5, w_pos, w_neg)
 
         ws = self._init(x.shape[1], rng)
-        _, dfa = _act(self.activation)
         # optimizer state
         m = [(np.zeros_like(w), np.zeros_like(b)) for w, b in ws]
         v = [(np.zeros_like(w), np.zeros_like(b)) for w, b in ws]
@@ -141,16 +174,15 @@ class MLPClassifier:
             for s in range(0, n, self.batch_size):
                 idx = order[s : s + self.batch_size]
                 xb, yb, swb = x[idx], y[idx], sw[idx]
-                zs, acts = self._forward(xb, ws, rng if self.dropout else None)
+                zs, acts, pre_acts, masks = self._forward(
+                    xb, ws, rng if self.dropout else None
+                )
                 # BCE grad at sigmoid output
                 delta = (acts[-1].ravel() - yb) * swb / len(idx)
-                delta = delta[:, None]
+                grads = self._backward(ws, zs, acts, pre_acts, masks, delta)
                 t += 1
                 for li in range(len(ws) - 1, -1, -1):
-                    gw = acts[li].T @ delta
-                    gb = delta.sum(axis=0)
-                    if li > 0:
-                        delta = (delta @ ws[li][0].T) * dfa(zs[li - 1], acts[li])
+                    gw, gb = grads[li]
                     w, b = ws[li]
                     if self.optimizer == "adam":
                         b1, b2, eps = 0.9, 0.999, 1e-8
@@ -187,7 +219,7 @@ class MLPClassifier:
     def predict_proba(self, x, _ws=None) -> np.ndarray:
         ws = _ws if _ws is not None else self.weights_
         x = np.asarray(x, dtype=np.float64)
-        _, acts = self._forward(x, ws, rng=None)
+        _, acts, _, _ = self._forward(x, ws, rng=None)
         return acts[-1].ravel()
 
     def predict(self, x, _ws=None) -> np.ndarray:

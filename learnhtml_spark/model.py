@@ -118,6 +118,7 @@ class NodeClassifier:
         scale=None,
         threshold=0.5,
         gbdt=None,
+        num_mask=None,
     ):
         self.w_num = w_num
         self.w_hash = w_hash
@@ -125,6 +126,9 @@ class NodeClassifier:
         self.scale = scale
         self.threshold = threshold
         self.gbdt = gbdt
+        #: chi2-dropped numeric columns (1.0 = kept); applied at inference
+        #: so serving sees exactly the zeroed columns training saw
+        self.num_mask = num_mask
         #: optional deep head (M8 variant; in-memory only — the packaged
         #: npz model always ships the GBDT head)
         self.mlp = None
@@ -162,12 +166,17 @@ class NodeClassifier:
         scale[scale == 0] = 1.0
         x_num = x_num / scale
 
+        num_mask = None
         if chi2_percentile < 100:
             # M7: SelectPercentile(chi2) analog (reference
             # model_selection.py:123) over [numeric ++ hashed] post-scaler.
             # Dropped hashed slots simply lose their training entries (their
             # weights stay 0, so inference needs no mask); dropped numeric
-            # columns are zeroed (constant -> never split on, weight decays).
+            # columns are zeroed here AND at inference (num_mask on the
+            # model) — without the serving-side mask, heads with non-zero
+            # weights on never-trained inputs (the MLP's Xavier init; the
+            # logistic's l2-decayed-but-nonzero weights) would see garbage
+            # contributions at predict time (ADVICE r2).
             from learnhtml_spark.selection import (
                 chi2_percentile_mask,
                 chi2_scores,
@@ -176,6 +185,7 @@ class NodeClassifier:
             stat = chi2_scores(x_num, rows, slots, y, HASH_DIM)
             mask = chi2_percentile_mask(stat, chi2_percentile)
             n_num_cols = x_num.shape[1]
+            num_mask = mask[:n_num_cols].astype(np.float64)
             x_num[:, ~mask[:n_num_cols]] = 0.0
             keep = mask[n_num_cols:][slots]
             rows, slots = rows[keep], slots[keep]
@@ -201,7 +211,7 @@ class NodeClassifier:
             np.add.at(gh, slots, g[rows])
             w_h -= lr * (gh + l2 * w_h)
             b -= lr * g.sum()
-        model = cls(w_n, w_h, float(b), scale)
+        model = cls(w_n, w_h, float(b), scale, num_mask=num_mask)
 
         if head == "mlp":
             # M8 deep variant (reference utils/keras.py create_model via
@@ -231,6 +241,8 @@ class NodeClassifier:
     def _logit_and_numeric(self, frame: pd.DataFrame):
         x_num, rows, slots = featurize_frame(frame)
         x_scaled = x_num / self.scale
+        if self.num_mask is not None:
+            x_scaled = x_scaled * self.num_mask  # train/serve parity (M7)
         z = x_scaled @ self.w_num + self.bias
         np.add.at(z, rows, self.w_hash[slots])
         return x_scaled, z
@@ -256,6 +268,8 @@ class NodeClassifier:
             scale=self.scale,
             threshold=np.float64(self.threshold),
         )
+        if self.num_mask is not None:
+            payload["num_mask"] = self.num_mask
         if self.gbdt is not None:
             payload.update(self.gbdt.to_arrays())
         # uncompressed: executors deserialize this per worker; load speed
@@ -273,6 +287,8 @@ class NodeClassifier:
                 z["scale"],
                 float(z["threshold"]),
             )
+            if "num_mask" in z:
+                model.num_mask = z["num_mask"]
             if "tree_sizes" in z:
                 from learnhtml_spark.gbdt import GBDTClassifier
 

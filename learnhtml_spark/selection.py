@@ -61,13 +61,21 @@ def chi2_scores(x_num, rows, slots, y, hash_dim: int) -> np.ndarray:
 
 def chi2_percentile_mask(scores: np.ndarray, percentile: float) -> np.ndarray:
     """Boolean keep-mask retaining the top ``percentile``% of features by
-    chi² score (ties kept, zero-score features never kept unless the
-    percentile demands them) — SelectPercentile semantics."""
+    chi² score — sklearn SelectPercentile semantics: strictly-above-threshold
+    features first, then threshold-TIED features (in index order) up to the
+    ``int(n * percentile / 100)`` feature budget (sklearn
+    _BaseFilter._get_support_mask; ADVICE r2 flagged the former
+    strict-inequality-only behavior, which under-selected on tie plateaus)."""
     if percentile >= 100:
         return np.ones_like(scores, dtype=bool)
     thr = np.percentile(scores, 100.0 - percentile)
     mask = scores > thr
-    if not mask.any():  # degenerate: all scores equal — keep everything
+    ties = np.where(scores == thr)[0]
+    if len(ties):
+        max_feats = int(len(scores) * percentile / 100.0)
+        kept_ties = ties[: max(max_feats - int(mask.sum()), 0)]
+        mask[kept_ties] = True
+    if not mask.any():  # degenerate: budget rounds to zero — keep everything
         return np.ones_like(scores, dtype=bool)
     return mask
 

@@ -127,12 +127,16 @@ def test_sibling_positions_no_whole_group_window(spark):
     plan = (
         sibling_positions(df)._jdf.queryExecution().executedPlan().toString()
     )
-    # the full-data window must key on (_pid, source), never bare source,
-    # and the input must be range-partitioned so chunks stay contiguous
-    assert "rangepartitioning" in plan.lower()
+    # the full-data window must key on (_chunk, source), never bare source;
+    # the chunk id is a pure row-value function (literal boundaries), so no
+    # range exchange — and thus no exchange-reuse hazard — may appear
+    assert "rangepartitioning" not in plan.lower()
+    seen_local = False
     for line in plan.splitlines():
-        if "row_number()" in line and "_local" in line:
-            assert "_pid" in line.split("windowspecdefinition")[-1]
+        if "row_number()" in line:
+            assert "_chunk" in line.split("windowspecdefinition")[-1]
+            seen_local = True
+    assert seen_local
 
 
 def test_neardup_pipeline_candidates_only(docs):

@@ -52,6 +52,56 @@ def test_mlp_activations_and_optimizers():
             assert (clf.predict(x) == (y > 0.5)).mean() > 0.75, (act, opt)
 
 
+class _FixedRng:
+    """rng stub: .random(shape) returns pre-seeded uniforms deterministically
+    so the SAME dropout masks can be replayed across forward passes."""
+
+    def __init__(self, seed):
+        self.seed = seed
+
+    def random(self, shape):
+        return np.random.default_rng(self.seed).random(shape)
+
+
+def test_mlp_dropout_backprop_matches_finite_difference():
+    """ADVICE r2: dropout backprop must gate the delta with the keep mask
+    and evaluate activation derivatives on PRE-dropout activations.
+    Finite-difference check of _backward under a fixed dropout mask."""
+    from learnhtml_spark.mlp import MLPClassifier
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(0, 1, (5, 4))
+    y = (rng.random(5) > 0.5).astype(float)
+    for act in ("tanh", "relu", "sigmoid", "selu"):
+        clf = MLPClassifier(hidden_layers=[6, 5], activation=act, dropout=0.4)
+        ws = clf._init(4, np.random.default_rng(11))
+
+        def loss(ws_):
+            zs, acts, _, _ = clf._forward(x, ws_, _FixedRng(12))
+            p = np.clip(acts[-1].ravel(), 1e-12, 1 - 1e-12)
+            return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+
+        zs, acts, pre_acts, masks = clf._forward(x, ws, _FixedRng(12))
+        assert masks[0] is None          # no Dropout after the 1st hidden
+        assert masks[1] is not None      # Dropout after the 2nd hidden
+        assert (masks[1] == 0).any()     # the mask actually drops units
+        delta = (acts[-1].ravel() - y) / len(y)
+        grads = clf._backward(ws, zs, acts, pre_acts, masks, delta)
+
+        eps = 1e-6
+        for li in range(len(ws)):
+            w = ws[li][0]
+            flat = [(0, 0), (w.shape[0] - 1, w.shape[1] - 1), (0, w.shape[1] - 1)]
+            for i, j in flat:
+                w[i, j] += eps
+                lp = loss(ws)
+                w[i, j] -= 2 * eps
+                lm = loss(ws)
+                w[i, j] += eps
+                num = (lp - lm) / (2 * eps)
+                assert abs(grads[li][0][i, j] - num) < 1e-5, (act, li, i, j)
+
+
 def test_mlp_deterministic():
     from learnhtml_spark.mlp import MLPClassifier
 

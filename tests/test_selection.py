@@ -86,6 +86,65 @@ def test_fit_with_chi2_percentile_still_learns():
     assert acc > 0.95
 
 
+def test_chi2_percentile_mask_tie_handling():
+    """sklearn SelectPercentile semantics: threshold-tied features are
+    added (in index order) up to the int(n*p/100) budget (ADVICE r2)."""
+    from learnhtml_spark.selection import chi2_percentile_mask
+
+    # 2 strictly-positive scores, 8 tied at zero; 50% of 10 = budget 5:
+    # both positives plus the first 3 zero-ties must be kept
+    scores = np.array([5.0, 3.0] + [0.0] * 8)
+    mask = chi2_percentile_mask(scores, 50)
+    assert mask.sum() == 5
+    assert mask[0] and mask[1] and mask[2] and mask[3] and mask[4]
+    assert not mask[5:].any()
+
+
+def test_num_mask_train_serve_parity():
+    """Chi2-dropped numeric columns must be zeroed at inference too —
+    otherwise heads with nonzero weights on never-trained inputs (MLP
+    Xavier init) see garbage at predict time (ADVICE r2)."""
+    import pandas as pd
+
+    from learnhtml_spark.model import NodeClassifier, _numeric_columns
+
+    rng = np.random.default_rng(3)
+    n = 40
+    y = (rng.random(n) > 0.5).astype(float)
+    frame = pd.DataFrame(
+        {
+            "path": [f"/p{i}" for i in range(n)],
+            "tag": np.where(y > 0.5, "p", "a"),
+            "class_text": "",
+            "id_text": "",
+            "signal": y * 10 + rng.random(n),
+            "junk": rng.random(n),
+        }
+    )
+    clf = NodeClassifier.fit(
+        [frame], [y], epochs=30, gbdt_rounds=5,
+        head="mlp", mlp_params={"hidden_layers": [8], "epochs": 30},
+    )
+    # force a dropped numeric column and check the serving-side mask
+    num_cols = _numeric_columns(frame)
+    clf.num_mask = np.ones(len(num_cols))
+    clf.num_mask[num_cols.index("junk")] = 0.0
+    base = clf.predict_proba(frame)
+    poisoned = frame.copy()
+    poisoned["junk"] = 1e6  # wild values in the dropped column
+    assert np.allclose(clf.predict_proba(poisoned), base)
+
+    # num_mask survives the npz roundtrip (gbdt head — the packaged path)
+    clf2 = NodeClassifier.fit(
+        [frame], [y], epochs=30, gbdt_rounds=5, chi2_percentile=50
+    )
+    if clf2.num_mask is None:
+        clf2.num_mask = np.array([1.0, 0.0])
+    restored = NodeClassifier.from_bytes(clf2.to_bytes())
+    assert restored.num_mask is not None
+    assert np.array_equal(restored.num_mask, clf2.num_mask)
+
+
 def test_search_params_picks_better_candidate():
     import pandas as pd
 
