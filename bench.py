@@ -104,6 +104,16 @@ def probe_rate(procs: int, n: int = 2_000_000) -> float:
     return procs * n / (time.time() - t0)
 
 
+def _ref_rate(rates) -> float:
+    """Certification reference: the 90th-percentile probe rate.  Anchoring
+    to the MAX made 'clean' strictly harder as cycles accumulated (the max
+    of N noisy samples grows with N — one lucky instant disqualified every
+    other window); the high quantile still represents the machine's
+    demonstrated quiet speed without rewarding that single outlier."""
+    s = sorted(rates)
+    return s[min(int(0.9 * len(s)), len(s) - 1)]
+
+
 SPANS_TABLE = "/tmp/bench_spans_table"
 
 #: corpus replication for the scaling measurement: the per-doc pipeline is
@@ -233,8 +243,8 @@ def main():
         eff_samples.append((walls[SMALL] / walls[MID]) / (MID / SMALL))
         cycle += 1
         if cycle >= min(n_cycles, 3):
-            best_rate = max(r for pl in probes for r in pl)
-            n_clean = sum(1 for pl in probes if min(pl) >= 0.94 * best_rate)
+            ref_rate = _ref_rate([r for pl in probes for r in pl])
+            n_clean = sum(1 for pl in probes if min(pl) >= 0.94 * ref_rate)
             if n_clean >= 3 or time.time() - loop_t0 > budget_s:
                 break
 
@@ -274,11 +284,11 @@ def main():
         return "noisy"
 
     all_probe_rates = [r for pl in probes + full_probes for r in pl]
-    best_rate = max(all_probe_rates)
+    ref_rate = _ref_rate(all_probe_rates)
     # full-machine point, certified: each cycle carries its own noise flag;
     # the certified wall is the best among clean/steady cycles (falls back
     # to best-of-all, flagged) so a freeze can't fake the headline either way
-    full_flags = [_flag(pl, best_rate) for pl in full_probes]
+    full_flags = [_flag(pl, ref_rate) for pl in full_probes]
     quiet_walls = [
         w for w, f in zip(cycle_walls[CPUS], full_flags) if f != "noisy"
     ]
@@ -294,8 +304,9 @@ def main():
     # A cycle's ratio is only meaningful if the machine was comparably
     # fast around BOTH runs of the pair (co-tenant steal is bursty and
     # hits the 4N run harder than the N run).  Tiers:
-    #   1. CLEAN cycles: all 4 probe rates within 6% of the fastest rate
-    #      seen in the whole run (machine genuinely quiet for the pair);
+    #   1. CLEAN cycles: all 4 probe rates within 6% of the run's
+    #      90th-percentile probe rate (machine genuinely quiet for the
+    #      pair; see _ref_rate for why not the max);
     #   2. STEADY cycles: the 4 probes mutually within 18% (conditions
     #      stable across the pair, so the differential bias is bounded
     #      even if the absolute level is depressed);
@@ -304,7 +315,7 @@ def main():
     # BOTH sides of a pair measured under like conditions — it rejects
     # windows where one side was unfairly slowed; it cannot manufacture
     # speed.  All raw samples + probe rates stay in the JSON.
-    clean = [i for i, pl in enumerate(probes) if min(pl) >= 0.94 * best_rate]
+    clean = [i for i, pl in enumerate(probes) if min(pl) >= 0.94 * ref_rate]
     steady = [i for i, pl in enumerate(probes) if max(pl) / min(pl) <= 1.18]
     if len(clean) >= 2:
         chosen, tier = [eff_samples[i] for i in clean], "clean"
@@ -318,7 +329,7 @@ def main():
     result["clean_cycles"] = clean
     result["steady_cycles"] = steady
     result["probe_rates_rel"] = [
-        [round(r / best_rate, 3) for r in pl] for pl in probes
+        [round(r / ref_rate, 3) for r in pl] for pl in probes
     ]
     result["scaling_pair"] = f"local[{SMALL}] -> local[{MID}] (N -> 4N cores)"
     result["scaling_efficiency_full_machine"] = round(
@@ -343,7 +354,7 @@ def main():
     queries = {}
     query_noise = {}
     query_probes = {}
-    run_best = best_rate
+    query_rates = list(all_probe_rates)
     for name, fn in E.queries().items():
         try:
             attempts = []  # (wall, [p0, p1])
@@ -353,14 +364,15 @@ def main():
                 noop_write(fn(spark, SF_DIR))
                 wall = time.time() - t0
                 p1 = probe_rate(MID)
-                run_best = max(run_best, p0, p1)
+                query_rates += [p0, p1]
+                run_ref = _ref_rate(query_rates)
                 attempts.append((wall, [p0, p1]))
                 # retry only when this attempt's bracket was noisy AND the
                 # query is non-trivial (sub-2s entries don't move grades)
-                if wall <= 2.0 or _flag([p0, p1], run_best) != "noisy":
+                if wall <= 2.0 or _flag([p0, p1], run_ref) != "noisy":
                     break
             # choose the fastest attempt among quiet brackets if any exist
-            quiet = [a for a in attempts if _flag(a[1], run_best) != "noisy"]
+            quiet = [a for a in attempts if _flag(a[1], run_ref) != "noisy"]
             wall, bracket = min(quiet or attempts, key=lambda a: a[0])
             queries[name] = round(wall, 3)
             query_probes[name] = bracket
@@ -370,8 +382,8 @@ def main():
     # flags computed against the FINAL best rate so early queries aren't
     # graded on a stale (lower) baseline
     for name, bracket in query_probes.items():
-        query_noise[name] = _flag(bracket, run_best)
-        query_probes[name] = [round(p / run_best, 3) for p in bracket]
+        query_noise[name] = _flag(bracket, run_ref)
+        query_probes[name] = [round(p / run_ref, 3) for p in bracket]
     result["queries"] = queries
     result["query_noise"] = query_noise
     result["query_probes_rel"] = query_probes
