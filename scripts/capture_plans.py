@@ -17,9 +17,9 @@ NOTES = {
     "minhash_lsh": "sig agg (1 shuffle, 16 mins in one groupBy) + band self-join + distinct",
     "neardup_pipe": "LSH candidates -> Jaccard verify over candidate pairs only",
     "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
-    "ann_topk": "bucketed candidates, norms precomputed, rank window per vec_id",
-    "sibling_pos": "two-phase rank: range exchange + (pid,group) window + broadcast offsets",
-    "embedding_neardup": "bucket join, norms once per vector",
+    "ann_topk": "bucket inline (mapInPandas) -> ONE shuffle (groupBy bucket) -> numpy gram + top-k per bucket (applyInPandas)",
+    "sibling_pos": "two-phase rank: literal-boundary chunk ids (pure row fn) + (chunk,group) window + broadcast offsets",
+    "embedding_neardup": "bucket inline -> ONE shuffle -> per-bucket gram + threshold filter",
     "ngram_jaccard": "shingle self-join + size joins (broadcast) — exact verify step",
     "cosine_topk": "broadcast corpus matmul in one python stage (exact baseline; ann_topk is the scale path)",
     "source_rollup": "dim broadcast (BroadcastHashJoin), partial aggs map-side",
@@ -28,7 +28,7 @@ NOTES = {
     "lang_id": "pure narrow plan",
     "fingerprint": "pure narrow plan",
     "doc_split": "pure narrow plan",
-    "ann_buckets": "narrow: per-row projections only",
+    "ann_buckets": "one narrow mapInPandas (plane matrix is a python constant)",
 }
 
 
