@@ -26,6 +26,21 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _docs_balanced(spark, sf_dir):
+    """Documents repartitioned by doc_id hash to ~4 partitions per core —
+    the python-kernel-heavy DOM queries (synthesize -> parse -> featurize,
+    ~2 ms/doc) otherwise run one unbalanced task wave over the parquet
+    scan's ~33 partitions and the straggler tail dominates (measured at
+    sf0.1 local[32]: 12.6 s at 33 scan partitions vs 3.5 s repartitioned).
+    2 partitions/core balances the ~0.3 s/task python-stage fixed cost
+    (Arrow round-trip) against wave smoothing at these corpus sizes; at
+    100 TB the same invariant is partitions >> cores with task kernel
+    time >> fixed cost (operators.extract.repartition_docs is the salted
+    variant for skewed corpora)."""
+    nparts = spark.sparkContext.defaultParallelism * 2
+    return _docs(spark, sf_dir).repartition(nparts, "doc_id")
+
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -62,21 +77,22 @@ def q_extract_spans(spark, sf_dir):
     from learnhtml_spark.corpus import synthesize_docs
     from learnhtml_spark.operators.extract import extract_content_spans
 
-    return extract_content_spans(synthesize_docs(_docs(spark, sf_dir)), _model_bytes())
+    return extract_content_spans(
+        synthesize_docs(_docs_balanced(spark, sf_dir)), _model_bytes()
+    )
 
 
 def q_node_features(spark, sf_dir):
     from learnhtml_spark.corpus import synthesize_docs
     from learnhtml_spark.operators.extract import extract_node_features
 
-    return extract_node_features(synthesize_docs(_docs(spark, sf_dir)), depth=2, height=2)
+    return extract_node_features(
+        synthesize_docs(_docs_balanced(spark, sf_dir)), depth=2, height=2
+    )
 
 
 def q_label_ratios(spark, sf_dir):
-    from learnhtml_spark.corpus import synthesize_docs
     from learnhtml_spark.operators.extract import label_documents
-
-    docs = synthesize_docs(_docs(spark, sf_dir))
 
     # gold blocks for each synthetic page are its known content texts
     import pandas as pd
@@ -84,7 +100,9 @@ def q_label_ratios(spark, sf_dir):
 
     from learnhtml_spark.schemas import SPAN
 
-    documents = _docs(spark, sf_dir)
+    documents = _docs_balanced(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
     schema = StructType(
         [
             StructField("doc_id", StringType()),
