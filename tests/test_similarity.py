@@ -1,0 +1,176 @@
+"""Unit tests for the similarity family's round-3 kernels: rounding mode,
+plane-matrix derivation, vectorized top-k, and the bucketed Spark plans.
+
+Semantics are ALSO pinned end-to-end by the DuckDB oracles in
+__spark_entry__.py; these tests pin the internals that make those oracles
+pass (HALF_UP rounding, md5 plane derivation, composite-key top-k) so a
+refactor can't silently drift them.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+
+def test_round6_half_away_from_zero():
+    from learnhtml_spark.functions.similarity import _round6
+
+    # np.round is banker's (half-to-even): 0.1234565 -> 0.123456;
+    # Spark F.round / DuckDB round are half-away-from-zero -> 0.123457
+    assert _round6(0.1234565) == pytest.approx(0.123457)
+    assert _round6(-0.1234565) == pytest.approx(-0.123457)
+    assert _round6(0.9999995) == pytest.approx(1.0)
+    assert _round6(np.array([0.5e-6, -0.5e-6, 0.0])).tolist() == pytest.approx(
+        [1e-6, -1e-6, 0.0]
+    )
+
+
+def test_plane_matrix_matches_md5_derivation():
+    from learnhtml_spark.functions.similarity import _plane_matrix
+
+    m = _plane_matrix(bits=6, dims=64)
+    assert m.shape == (6, 64)
+    for b, d in [(0, 0), (3, 17), (5, 63)]:
+        nib = int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[0], 16)
+        assert m[b, d] == nib - 7.5  # exactly representable, no rounding
+    assert m.min() >= -7.5 and m.max() <= 7.5
+
+
+def test_topk_pairs_matches_naive_lexsort():
+    from learnhtml_spark.functions.similarity import _topk_pairs
+
+    rng = np.random.default_rng(0)
+    n, k = 40, 5
+    ids = rng.permutation(n).astype(np.int64)
+    # rounded sims with deliberate tie plateaus
+    sims = np.round(rng.random((n, n)) * 4) / 4.0
+
+    qi, ci, ranks = _topk_pairs(ids, ids, sims, k)
+    got = {}
+    for a, b, r in zip(qi, ci, ranks):
+        got.setdefault(ids[a], []).append((ids[b], r))
+
+    for i in range(n):
+        cand = np.where(ids != ids[i])[0]
+        order = cand[np.lexsort((ids[cand], -sims[i, cand]))][:k]
+        want = [(ids[j], r) for r, j in enumerate(order, 1)]
+        assert got[ids[i]] == want, ids[i]
+
+
+def test_topk_pairs_k_exceeds_candidates():
+    from learnhtml_spark.functions.similarity import _topk_pairs
+
+    ids = np.array([3, 1, 2], dtype=np.int64)
+    sims = np.round(np.eye(3) * 0 + 0.5, 6)
+    qi, ci, ranks = _topk_pairs(ids, ids, sims, k=10)
+    # each query gets exactly the 2 non-self candidates, ranks 1..2
+    for i in range(3):
+        mine = sorted(ranks[qi == i])
+        assert mine == [1, 2]
+        assert ids[i] not in set(ids[ci[qi == i]])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two tight clusters + one orthogonal outlier, 8 dims
+    rows = []
+    base_a = [1.0, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 0.0, 0.0, 0.0, 0.1, 0.2, 1.0, 0.0]
+    for i in range(5):
+        rows.append((i, [v * (1.0 + 0.01 * i) for v in base_a]))
+    for i in range(5, 10):
+        rows.append((i, [v * (1.0 + 0.01 * i) for v in base_b]))
+    rows.append((10, [0.0] * 7 + [1.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_identical_direction_vectors_share_bucket(emb):
+    from learnhtml_spark.functions.similarity import hyperplane_lsh_buckets
+
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_lsh_buckets(emb, bits=6).collect()
+    }
+    assert len(buckets) == 11
+    assert len({buckets[i] for i in range(5)}) == 1     # cluster A coherent
+    assert len({buckets[i] for i in range(5, 10)}) == 1  # cluster B coherent
+    assert buckets[0] != buckets[5]  # orthogonal clusters separate
+
+
+def test_ann_topk_equals_within_bucket_cosine(emb):
+    """ann_lsh_topk must equal cosine ranking restricted to each bucket."""
+    from learnhtml_spark.functions.similarity import (
+        ann_lsh_topk,
+        hyperplane_lsh_buckets,
+    )
+
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ann_lsh_topk(emb, bits=4, k=2).collect()
+    }
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_lsh_buckets(emb, bits=4).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    for vid, bkt in buckets.items():
+        cands = sorted(
+            (
+                (-round(cos(vecs[vid], vecs[o]), 6), o)
+                for o, b2 in buckets.items()
+                if b2 == bkt and o != vid
+            ),
+        )[:2]
+        for rank, (negsim, o) in enumerate(cands, 1):
+            nb, sim = got[(vid, rank)]
+            assert nb == o
+            assert sim == pytest.approx(-negsim, abs=2e-6)
+
+
+def test_embedding_neardup_finds_cluster_pairs_only(emb):
+    from learnhtml_spark.functions.similarity import embedding_neardup_pairs
+
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.99, bits=4).collect()
+    }
+    assert pairs  # near-identical cluster members found
+    for a, b in pairs:
+        assert a < b
+        assert (a < 5 and b < 5) or (5 <= a < 10 and 5 <= b < 10)
+
+
+def test_cosine_topk_guard_refuses_unbounded_collect(emb, monkeypatch):
+    import learnhtml_spark.functions.similarity as sim
+
+    monkeypatch.setattr(sim, "_MAX_BROADCAST_ROWS", 5)
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        sim.cosine_topk(emb, k=3)
+
+
+def test_similarity_plans_have_one_shuffle(emb):
+    """ann_lsh_topk / embedding_neardup: exactly ONE exchange (groupBy
+    bucket) — the round-2 self-join recomputed the projection per side."""
+    from learnhtml_spark.functions.similarity import (
+        ann_lsh_topk,
+        embedding_neardup_pairs,
+        hyperplane_lsh_buckets,
+    )
+
+    for df, max_ex in (
+        (hyperplane_lsh_buckets(emb, bits=6), 0),
+        (ann_lsh_topk(emb, bits=4, k=2), 1),
+        (embedding_neardup_pairs(emb, threshold=0.5, bits=4), 1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= max_ex, plan[:400]
