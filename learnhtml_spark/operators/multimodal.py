@@ -2,18 +2,31 @@
 media spans carried through the extraction output.
 
 Media payloads are opaque ``binary`` columns with typed metadata; decode /
-feature-extraction run as Arrow-batched pandas transforms over
-``mapInPandas``.  The image/audio codec libraries are not present in this
-environment, so the decode step is STUBBED — ``decode_stub`` raises
-NotImplementedError unless ``deterministic_fake=True``, in which case it
-produces a seeded fake decode (stable shape/bytes) so the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is real and
-tested end-to-end.  Swapping in a real codec is a one-function change.
+feature-extraction / resize / frame-sample run as Arrow-batched pandas
+transforms over ``mapInPandas``.
+
+Round 3: formats whose containers are plain structs are decoded FOR REAL
+in pure numpy — BMP (uncompressed 24/32-bit), PPM/PGM (binary P6/P5) and
+WAV (PCM 8/16-bit) need no codec library.  Compressed codecs (JPEG, PNG,
+MP3, MP4...) genuinely require libraries absent from this environment, so
+they keep the documented stub seam: ``decode_media`` raises
+NotImplementedError for them unless ``deterministic_fake=True`` (seeded
+fake, stable shape/bytes) — the Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is identical either way, and swapping in
+Pillow/ffmpeg is a one-function change.
+
+Feature semantics per media kind:
+- image: width/height in pixels, n_frames=1, thumbnail = 8x8 nearest-
+  neighbor grayscale downsample (64 bytes) — the "resize" step.
+- audio: width=sample_rate, height=n_channels, n_frames=n_samples,
+  thumbnail = 32-segment RMS envelope scaled to uint8 (the "frame-
+  sample" step: fixed-size summary regardless of duration).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -36,6 +49,7 @@ MEDIA_FEATURES = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("decoder", StringType()),
         StructField("content_digest", StringType()),
         StructField("thumbnail", BinaryType()),
     ]
@@ -46,7 +60,7 @@ def media_type_of(ref: str) -> str:
     if ref is None:
         return "unknown"
     low = ref.lower()
-    if low.endswith((".jpg", ".jpeg", ".png", ".gif")) or "/img/" in low:
+    if low.endswith((".jpg", ".jpeg", ".png", ".gif", ".bmp", ".ppm", ".pgm")) or "/img/" in low:
         return "image"
     if low.endswith((".mp4", ".webm", ".avi")) or "/vid/" in low:
         return "video"
@@ -55,23 +69,165 @@ def media_type_of(ref: str) -> str:
     return "unknown"
 
 
-def decode_stub(ref: str, payload: bytes | None, deterministic_fake: bool = False):
-    """Decode a media payload.  REAL CODECS ARE NOT AVAILABLE HERE — this is
-    the documented stub seam.  With ``deterministic_fake`` it synthesizes a
-    stable (width, height, n_frames, thumbnail) from the ref hash; without
-    it, it raises (the production deployment plugs Pillow/ffmpeg here)."""
+# ---------------------------------------------------------------------------
+# real pure-numpy decoders (no codec libraries involved)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP -> (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    top_down, h = h < 0, abs(h)
+    bpx = bpp // 8
+    stride = (w * bpx + 3) & ~3  # rows padded to 4 bytes
+    buf = np.frombuffer(payload, np.uint8, stride * h, pix_off)
+    px = buf.reshape(h, stride)[:, : w * bpx].reshape(h, w, bpx)
+    px = px[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    return px if top_down else px[::-1]
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> (h, w, 3) or (h, w) uint8."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header tokens: magic, width, height, maxval; '#' comments allowed
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, np.uint8, w * h * ch, pos)
+    return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV (8/16-bit) -> (samples float32 in [-1,1] of shape
+    (n_samples, n_channels), sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = len(x) // n_ch
+    return x[: n * n_ch].reshape(n, n_ch), rate
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (the codec-free 'resize' op)."""
+    ys = np.linspace(0, px.shape[0] - 1, out_h).round().astype(int)
+    xs = np.linspace(0, px.shape[1] - 1, out_w).round().astype(int)
+    return px[np.ix_(ys, xs)]
+
+
+def thumbnail_gray8(px: np.ndarray) -> bytes:
+    """8x8 grayscale nearest-neighbor thumbnail (64 bytes)."""
+    gray = px.mean(axis=2) if px.ndim == 3 else px
+    return resize_nearest(gray, 8, 8).astype(np.uint8).tobytes()
+
+
+def audio_envelope32(samples: np.ndarray) -> bytes:
+    """32-segment RMS envelope scaled to uint8 (32 bytes) — a fixed-size
+    'frame sample' of arbitrary-length audio."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    if len(mono) == 0:
+        return bytes(32)
+    segs = np.array_split(mono.astype(np.float64), 32)
+    rms = np.array([np.sqrt((s * s).mean()) if len(s) else 0.0 for s in segs])
+    return np.clip(rms * 255.0, 0, 255).astype(np.uint8).tobytes()
+
+
+def _sniff(payload: bytes) -> str | None:
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P6", b"P5"):
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_media(
+    ref: str, payload: bytes | None, deterministic_fake: bool = False
+):
+    """Decode a media payload into (width, height, n_frames, decoder,
+    thumbnail).  Codec-free container formats (BMP, PPM/PGM, PCM WAV) are
+    decoded for real; everything else hits the stub seam — raises unless
+    ``deterministic_fake`` (production plugs Pillow/ffmpeg there)."""
+    kind = _sniff(payload) if payload is not None else None
+    if kind == "bmp" or kind == "ppm":
+        px = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
+        return (
+            int(px.shape[1]),
+            int(px.shape[0]),
+            1,
+            kind,
+            thumbnail_gray8(px),
+        )
+    if kind == "wav":
+        samples, rate = decode_wav(payload)
+        return (
+            int(rate),
+            int(samples.shape[1]),
+            int(samples.shape[0]),
+            "wav",
+            audio_envelope32(samples),
+        )
     if not deterministic_fake:
         raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "environment; pass deterministic_fake=True for plumbing tests"
+            "payload is not a codec-free format (BMP/PPM/PCM-WAV); decoding "
+            "it requires codec libraries not present in this environment — "
+            "pass deterministic_fake=True for plumbing tests"
         )
     h = hashlib.md5((ref or "").encode()).digest()
     width = 64 + h[0] * 4
     height = 64 + h[1] * 4
     n_frames = 1 if media_type_of(ref) == "image" else 1 + h[2]
     rng = np.frombuffer(h * 4, dtype=np.uint8)
-    thumbnail = rng[:32].tobytes()
-    return width, height, n_frames, thumbnail
+    return width, height, n_frames, "fake", rng[:32].tobytes()
+
+
+def decode_stub(ref: str, payload: bytes | None, deterministic_fake: bool = False):
+    """Back-compat wrapper (round-1/2 name): returns the legacy 4-tuple."""
+    w, h, nf, _, thumb = decode_media(ref, payload, deterministic_fake)
+    return w, h, nf, thumb
 
 
 def media_features(
@@ -82,7 +238,7 @@ def media_features(
     Arrow-batched; one vectorized pass per batch.  Partitioning contract:
     media rows are independent — any partitioning works; payloads at 100 TB
     live in object storage referenced by media_ref and are range-read
-    inside the UDF (here: absent/None)."""
+    inside the UDF (here: inline binary column or absent)."""
     has_payload = "payload" in media_df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,9 +246,14 @@ def media_features(
             rows = []
             for i, ref in enumerate(pdf["media_ref"]):
                 payload = pdf["payload"].iloc[i] if has_payload else None
-                w, h, nf, thumb = decode_stub(
+                if payload is not None and not isinstance(payload, bytes):
+                    payload = bytes(payload)
+                w, h, nf, dec, thumb = decode_media(
                     ref, payload, deterministic_fake=deterministic_fake
                 )
+                digest = hashlib.md5(
+                    payload if payload is not None else (ref or "").encode()
+                ).hexdigest()
                 rows.append(
                     (
                         ref,
@@ -101,7 +262,8 @@ def media_features(
                         w,
                         h,
                         nf,
-                        hashlib.md5((ref or "").encode()).hexdigest(),
+                        dec,
+                        digest,
                         thumb,
                     )
                 )

@@ -139,3 +139,100 @@ def test_poison_document_isolated(spark, fixture_model, tmp_path):
     lin = read_lineage(spark, base)
     from pyspark.sql import functions as F
     assert lin.agg(F.sum("error_count")).collect()[0][0] == 1
+
+
+def _make_bmp(w, h, rgb, bpp=24, top_down=False):
+    """Minimal BI_RGB BMP: solid color (r,g,b), row padding included."""
+    import struct
+
+    bpx = bpp // 8
+    stride = (w * bpx + 3) & ~3
+    r, g, b = rgb
+    px_row = (bytes([b, g, r] + ([255] if bpp == 32 else [])) * w).ljust(
+        stride, b"\x00"
+    )
+    pixels = px_row * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(pixels), 2835, 2835, 0, 0,
+    )
+    return header + dib + pixels
+
+
+def _make_wav(n_samples=800, n_ch=2, rate=8000, bits=16):
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_samples * n_ch)
+    data = (np.sin(t / 5.0) * 16000).astype(np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_bmp_decode():
+    import numpy as np
+
+    from learnhtml_spark.operators.multimodal import decode_bmp
+
+    px = decode_bmp(_make_bmp(5, 3, (10, 200, 30)))
+    assert px.shape == (3, 5, 3)
+    assert (px == np.array([10, 200, 30], dtype=np.uint8)).all()
+    px32 = decode_bmp(_make_bmp(4, 2, (1, 2, 3), bpp=32, top_down=True))
+    assert px32.shape == (2, 4, 3)
+    assert (px32 == np.array([1, 2, 3], dtype=np.uint8)).all()
+
+
+def test_real_ppm_and_wav_decode():
+    import numpy as np
+
+    from learnhtml_spark.operators.multimodal import decode_ppm, decode_wav
+
+    ppm = b"P6\n# comment\n4 2\n255\n" + bytes([7, 8, 9]) * 8
+    px = decode_ppm(ppm)
+    assert px.shape == (2, 4, 3) and (px == [7, 8, 9]).all()
+    pgm = b"P5\n3 3\n255\n" + bytes(range(9))
+    assert decode_ppm(pgm).shape == (3, 3)
+
+    samples, rate = decode_wav(_make_wav())
+    assert rate == 8000
+    assert samples.shape == (800, 2)
+    assert np.abs(samples).max() <= 1.0
+
+
+def test_media_features_real_payloads(spark):
+    """End-to-end: binary payload column -> REAL decode inside mapInPandas
+    (no deterministic_fake needed for codec-free formats)."""
+    from learnhtml_spark.operators.multimodal import media_features
+
+    rows = [
+        ("media://img/a.bmp", bytearray(_make_bmp(16, 9, (50, 100, 150)))),
+        ("media://aud/b.wav", bytearray(_make_wav(n_samples=400, n_ch=1))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r.media_ref: r for r in media_features(df, deterministic_fake=False).collect()}
+    img = out["media://img/a.bmp"]
+    assert (img.decoder, img.width, img.height, img.n_frames) == ("bmp", 16, 9, 1)
+    assert len(img.thumbnail) == 64  # 8x8 grayscale resize
+    gray = round(0.0 + (50 + 100 + 150) / 3)
+    assert all(abs(b - gray) <= 1 for b in img.thumbnail)
+    aud = out["media://aud/b.wav"]
+    assert (aud.decoder, aud.width, aud.height, aud.n_frames) == ("wav", 8000, 1, 400)
+    assert len(aud.thumbnail) == 32 and max(aud.thumbnail) > 0
+    # digest is now content-addressed when a payload exists
+    assert img.content_digest != aud.content_digest
+
+
+def test_media_decode_rejects_compressed_without_fake(spark):
+    import pytest
+
+    from learnhtml_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media("a.jpg", b"\xff\xd8\xff\xe0" + b"0" * 100, False)
