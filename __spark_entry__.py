@@ -27,7 +27,7 @@ def _docs(spark, sf_dir):
 
 
 def _docs_balanced(spark, sf_dir):
-    """Documents repartitioned by doc_id hash to ~4 partitions per core —
+    """Documents repartitioned by doc_id hash to 2 partitions per core —
     the python-kernel-heavy DOM queries (synthesize -> parse -> featurize,
     ~2 ms/doc) otherwise run one unbalanced task wave over the parquet
     scan's ~33 partitions and the straggler tail dominates (measured at
@@ -212,6 +212,16 @@ def q_ann_topk(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir), bits=6, k=3)
 
 
+def q_ivf_topk(spark, sf_dir):
+    # the SECOND ANN family: IVF-flat (coarse quantize to nearest centroid,
+    # exact cosine within the inverted list).  Centroids are data-seeded
+    # deterministically (smallest n vec_ids) so the SQL oracle replays the
+    # exact assignment; production fits k-means offline, same plan.
+    from learnhtml_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), n_centroids=8, k=3)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -304,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "doc_split": q_doc_split,
@@ -603,6 +614,32 @@ ranked as (
 select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
 """
 
+_IVF_TOPK_SQL = r"""
+with cents as (
+  select vec_id as cid, embedding as cemb
+  from embeddings order by vec_id limit 8
+),
+assign as (
+  select e.vec_id, e.embedding,
+         (select c.cid from cents c
+          order by round(list_cosine_similarity(e.embedding::double[], c.cemb::double[]), 6) desc,
+                   c.cid asc
+          limit 1) as cell
+  from embeddings e
+),
+sims as (
+  select a.vec_id as vec_id, b.vec_id as neighbor_id,
+         round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) as sim
+  from assign a join assign b on a.cell = b.cell and a.vec_id <> b.vec_id
+),
+ranked as (
+  select vec_id, neighbor_id, sim,
+         row_number() over (partition by vec_id order by sim desc, neighbor_id asc) as rank
+  from sims
+)
+select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
+"""
+
 _EVENTS_SQL = r"""
 select event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
@@ -712,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "ivf_topk": _IVF_TOPK_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "events_hourly": _EVENTS_SQL,
         "doc_split": _SPLIT_SQL,

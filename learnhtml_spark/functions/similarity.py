@@ -298,6 +298,108 @@ def embedding_neardup_pairs(
     )
 
 
+def _group_topk_pdf(pdf, k: int):
+    """Shared per-group kernel for the bucketed ANN ops: one gram matrix,
+    exact (-sim, neighbor_id) top-k per row, self excluded."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "sim": [], "rank": []}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    mat = _emb_f64(pdf["embedding"])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sims = _round6(unit @ unit.T)
+    if _ids_vectorizable(ids):
+        qi, ci, ranks = _topk_pairs(ids, ids, sims, k)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[qi],
+                "neighbor_id": ids[ci],
+                "sim": sims[qi, ci],
+                "rank": ranks,
+            }
+        )
+    out = []
+    for i in range(n):
+        s = sims[i]
+        cand = np.where(ids != ids[i])[0]
+        ordered = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+        for rank, j in enumerate(ordered, 1):
+            out.append((ids[i], ids[j], float(s[j]), rank))
+    return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim", "rank"])
+
+
+def ivf_topk(
+    embeddings: DataFrame, n_centroids: int = 8, k: int = 3
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize each vector to its
+    nearest centroid's inverted list, then exact cosine ranking within the
+    list (nprobe=1).  The second ANN family next to ``ann_lsh_topk``
+    (hyperplane LSH): IVF adapts to the data's cluster structure where LSH
+    buckets are data-oblivious.
+
+    Centroids here are DATA-SEEDED deterministically (the ``n_centroids``
+    vectors with smallest vec_id) so a SQL oracle can replay the exact
+    assignment; a production deployment fits k-means offline and ships the
+    centroid matrix the same way — the Spark plan is identical either way:
+    centroids broadcast to a narrow mapInPandas assignment (one numpy
+    (batch × centroids) matmul), ONE shuffle (groupBy cell), one gram
+    matrix per inverted list via applyInPandas.  Assignment ties break to
+    the smallest centroid id on both engines (rounded sims, first-max)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows])
+    cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    cent_norm[cent_norm == 0] = 1.0
+    cent_unit = cent / cent_norm[:, None]
+    bc = spark.sparkContext.broadcast((cent_ids, cent_unit))
+
+    id_t = _id_schema(embeddings).split(" ")[1]
+
+    def assign(batches):
+        ids_c, cu = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _emb_f64(pdf["embedding"])
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = 1.0
+            sims = _round6((q / qn[:, None]) @ cu.T)
+            # first max = smallest centroid index; ids_c sorted ascending
+            cells = ids_c[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema=f"vec_id {id_t}, cell {id_t}, embedding array<float>"
+    )
+
+    schema = f"vec_id {id_t}, neighbor_id {id_t}, sim double, rank int"
+    return assigned.groupBy("cell").applyInPandas(
+        lambda pdf: _group_topk_pdf(pdf, k), schema=schema
+    )
+
+
 def ann_lsh_topk(embeddings: DataFrame, bits: int = 6, k: int = 3) -> DataFrame:
     """Approximate top-k: exact cosine ranking within each LSH bucket.
 
@@ -308,46 +410,10 @@ def ann_lsh_topk(embeddings: DataFrame, bits: int = 6, k: int = 3) -> DataFrame:
     bucket size are tuned via ``bits``; skewed buckets are bounded by
     2^bits fan-out — at larger scale raise ``bits`` (and/or multiprobe)
     so Σ n_b² stays linear-ish."""
-    import numpy as np
-    import pandas as pd
-
-    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "neighbor_id": [], "sim": [], "rank": []}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        mat = _emb_f64(pdf["embedding"])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        sims = _round6(unit @ unit.T)
-        if _ids_vectorizable(ids):
-            qi, ci, ranks = _topk_pairs(ids, ids, sims, k)
-            return pd.DataFrame(
-                {
-                    "vec_id": ids[qi],
-                    "neighbor_id": ids[ci],
-                    "sim": sims[qi, ci],
-                    "rank": ranks,
-                }
-            )
-        out = []
-        for i in range(n):
-            s = sims[i]
-            cand = np.where(ids != ids[i])[0]
-            ordered = cand[np.lexsort((ids[cand], -s[cand]))][:k]
-            for rank, j in enumerate(ordered, 1):
-                out.append((ids[i], ids[j], float(s[j]), rank))
-        return pd.DataFrame(
-            out, columns=["vec_id", "neighbor_id", "sim", "rank"]
-        )
-
     id_t = _id_schema(embeddings).split(" ")[1]
     schema = f"vec_id {id_t}, neighbor_id {id_t}, sim double, rank int"
     return (
         _bucketed(embeddings, bits)
         .groupBy("bucket")
-        .applyInPandas(per_bucket, schema=schema)
+        .applyInPandas(lambda pdf: _group_topk_pdf(pdf, k), schema=schema)
     )

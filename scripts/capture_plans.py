@@ -18,6 +18,7 @@ NOTES = {
     "neardup_pipe": "LSH candidates -> Jaccard verify over candidate pairs only",
     "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
     "ann_topk": "bucket inline (mapInPandas) -> ONE shuffle (groupBy bucket) -> numpy gram + top-k per bucket (applyInPandas)",
+    "ivf_topk": "IVF-flat: centroid broadcast -> inline cell assignment (mapInPandas) -> ONE shuffle -> per-cell gram top-k",
     "sibling_pos": "two-phase rank: literal-boundary chunk ids (pure row fn) + (chunk,group) window + broadcast offsets",
     "embedding_neardup": "bucket inline -> ONE shuffle -> per-bucket gram + threshold filter",
     "ngram_jaccard": "shingle self-join + size joins (broadcast) — exact verify step",

@@ -174,3 +174,40 @@ def test_similarity_plans_have_one_shuffle(emb):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= max_ex, plan[:400]
+
+
+def test_ivf_topk_equals_within_cell_cosine(emb):
+    """ivf_topk must equal cosine ranking restricted to each inverted
+    list, with cells = argmax-cosine over the data-seeded centroids."""
+    from learnhtml_spark.functions.similarity import ivf_topk
+
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ivf_topk(emb, n_centroids=3, k=2).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    cents = sorted(vecs)[:3]
+    cell = {
+        v: max(cents, key=lambda c: (cos(vecs[v], vecs[c]), -c))
+        for v in vecs
+    }
+    for vid in vecs:
+        cands = sorted(
+            ((-cos(vecs[vid], vecs[o]), o)
+             for o in vecs if o != vid and cell[o] == cell[vid]),
+        )[:2]
+        for rank, (negsim, o) in enumerate(cands, 1):
+            nb, sim = got[(vid, rank)]
+            assert nb == o, (vid, rank)
+            assert sim == pytest.approx(-negsim, abs=2e-6)
+        # no extra ranks beyond the cell's candidate count
+        assert (vid, len(cands) + 1) not in got
