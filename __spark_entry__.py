@@ -180,6 +180,44 @@ def q_neardup_pipe(spark, sf_dir):
     return neardup_pairs(_docs(spark, sf_dir), threshold=0.4)
 
 
+def q_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup replayed over the documents table: the
+    stateful first-seen-wins operator (applyInPandasWithState) run with
+    Trigger.AvailableNow — one micro-batch over the single parquet file,
+    so the stream's verdicts equal batch min-keeper semantics and the SQL
+    oracle can attest a genuinely streaming plan."""
+    import tempfile
+
+    from learnhtml_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA,
+        streaming_exact_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="dedup_stream_")
+    outdir = os.path.join(work, "out")
+    # the streaming source needs a DIRECTORY; select just the documents
+    # file out of the sf dir with a glob filter
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(outdir)
+
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(outdir)
+
+
 def q_simhash(spark, sf_dir):
     from learnhtml_spark.functions.dedup import simhash
 
@@ -307,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "dedup_stream": q_dedup_stream,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "neardup_pipe": q_neardup_pipe,
@@ -741,6 +780,15 @@ def oracle_sql() -> dict[str, str]:
             "select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "
             "min(doc_id) as keep_doc_id, count(*) as dup_count "
             "from documents group by 1"
+        ),
+        "dedup_stream": (
+            "with fps as (select doc_id, "
+            "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp "
+            "from documents) "
+            "select doc_id, fp, "
+            "min(doc_id) over (partition by fp) as keep_doc_id, "
+            "doc_id <> min(doc_id) over (partition by fp) as is_duplicate "
+            "from fps"
         ),
         "ngram_jaccard": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,

@@ -113,3 +113,65 @@ def test_running_user_counts_state_survives_restart(spark, tmp_path):
     got2 = drain("running_2")
     assert got2[1] == (3, 13.0)
     assert 2 not in got2  # untouched key emits nothing in update mode
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Streaming dedup: keeper per fingerprint persists across
+    micro-batches AND a checkpoint restart; within-batch ties break to
+    the smallest doc_id (batch exact_dedup parity)."""
+    import pandas as pd
+
+    from learnhtml_spark.streaming.dedup_stream import (
+        read_docs_stream,
+        streaming_exact_dedup,
+    )
+
+    ind = tmp_path / "docs_in"
+    ind.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def write_docs(path, rows):
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source"]
+        ).to_parquet(path, index=False)
+
+    # batch 1: doc 5 and 2 are exact dups (after normalization), 9 unique
+    write_docs(
+        ind / "a.parquet",
+        [
+            (5, "Hello   World", "en", "s1"),
+            (2, "  hello world ", "en", "s2"),
+            (9, "something else", "en", "s1"),
+        ],
+    )
+
+    def drain(name):
+        outdir = str(tmp_path / name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outdir)
+
+        q = (
+            streaming_exact_dedup(read_docs_stream(spark, str(ind)))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["doc_id"]: (r["keep_doc_id"], r["is_duplicate"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    got1 = drain("dedup_1")
+    assert got1[2] == (2, False)   # min doc_id wins the within-batch tie
+    assert got1[5] == (2, True)
+    assert got1[9] == (9, False)
+
+    # restart with new data: doc 1 duplicates the (2,5) fingerprint — the
+    # state-store keeper (2) must stay authoritative even though 1 < 2
+    write_docs(ind / "b.parquet", [(1, "hello world", "en", "s3")])
+    got2 = drain("dedup_2")
+    assert got2 == {1: (2, True)}  # update mode: only the touched doc
