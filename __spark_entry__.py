@@ -135,6 +135,14 @@ def q_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
 
+def q_token_bpe(spark, sf_dir):
+    # whitespace word count + BPE-ish subword estimate (brief: "token
+    # counting (whitespace + a BPE-ish regex)")
+    from learnhtml_spark.functions.textstats import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
 def q_quality(spark, sf_dir):
     from learnhtml_spark.functions.textstats import quality_score
 
@@ -341,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_features": q_node_features,
         "label_ratios": q_label_ratios,
         "token_stats": q_token_stats,
+        "token_bpe": q_token_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -773,6 +782,16 @@ def oracle_sql() -> dict[str, str]:
         "node_features": _NODE_FEATURES_SQL,
         "label_ratios": _LABEL_RATIOS_SQL,
         "token_stats": _STATS_SQL,
+        "token_bpe": (
+            "with t as (select doc_id, case when length(trim(text)) = 0 "
+            "then 0 else len(regexp_split_to_array(trim(text), '\\s+')) end "
+            "as token_count, "
+            "cast(coalesce(list_sum(list_transform("
+            "regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'), "
+            "m -> greatest(1, cast(ceil(cast(length(trim(m)) as double) / 4) as bigint)))), 0) "
+            "as bigint) as bpe_count from documents) "
+            "select doc_id, cast(token_count as bigint) as token_count, bpe_count from t"
+        ),
         "quality": _QUALITY_SQL,
         "lang_id": _LANG_SQL,
         "fingerprint": _FP_SQL,

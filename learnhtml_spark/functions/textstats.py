@@ -117,3 +117,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len")
     )
+
+
+#: BPE-ish pre-tokenizer: disjoint character-class alternatives (alpha runs,
+#: digit runs, symbol runs — optionally space-prefixed, GPT-2-style) so
+#: Java-regex and RE2 engines agree without alternation-priority semantics
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, token_count, bpe_count): whitespace word count plus a
+    BPE-ish subword count — each pre-token match contributes
+    max(1, ceil(len/4)) pieces, approximating how byte-pair vocabularies
+    split long words into ~4-char merges.  The estimator LLM pipelines
+    use to budget sequence lengths without shipping a tokenizer model;
+    pure JVM expressions, whole-stage codegen."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    per_piece = lambda m: F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.length(F.trim(m)).cast("double") / 4).cast("long"),
+    )
+    bpe = F.aggregate(
+        pieces, F.lit(0).cast("long"), lambda acc, m: acc + per_piece(m)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("token_count"),
+        bpe.alias("bpe_count"),
+    )

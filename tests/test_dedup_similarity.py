@@ -155,3 +155,25 @@ def test_neardup_pipeline_candidates_only(docs):
     }
     for pair, j in got.items():
         assert full[pair] == j
+
+
+def test_bpe_token_count_semantics(spark):
+    from learnhtml_spark.functions.textstats import bpe_token_count
+
+    rows = [
+        (1, "hello world"),           # 2 words, both <=4+ chars -> pieces
+        (2, "internationalization"),  # 20 chars -> ceil(20/4)=5 pieces
+        (3, ""),                      # empty -> 0 / 0
+        (4, "a1b! x"),                # mixed runs split by char class
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["token_count"], r["bpe_count"])
+        for r in bpe_token_count(df).collect()
+    }
+    # "hello"(2) + " world"(2) = ceil(5/4)+ceil(5/4) = 2+2
+    assert got[1] == (2, 4)
+    assert got[2] == (1, 5)
+    assert got[3] == (0, 0)
+    # "a"(1) "1"(1) "b"(1) "!"(1) " x"(1) = 5 pieces, 2 whitespace words
+    assert got[4] == (2, 5)
