@@ -21,7 +21,12 @@ STOPWORDS = {
 
 
 def tokens(col) -> Column:
-    """Whitespace tokens (empty text -> empty array) — kernel F2 analog."""
+    """Whitespace tokens (empty text -> empty array) — kernel F2 analog.
+
+    Note: ``trim`` strips ASCII spaces only (Spark and DuckDB agree), so
+    text leading with a tab/newline yields an empty first token.  The
+    SQL oracles pin the identical semantics; a property test
+    (test_shingle_array_matches_python_reference) documents it."""
     t = F.trim(col)
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")

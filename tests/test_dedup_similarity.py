@@ -177,3 +177,50 @@ def test_bpe_token_count_semantics(spark):
     assert got[3] == (0, 0)
     # "a"(1) "1"(1) "b"(1) "!"(1) " x"(1) = 5 pieces, 2 whitespace words
     assert got[4] == (2, 5)
+
+
+def test_shingle_array_matches_python_reference(spark):
+    """The zipped-slice shingle expression must produce exactly the
+    distinct k-gram set of the straightforward Python implementation on
+    randomized texts (guards the r3 rewrite of the hot path)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.dedup import _shingle_array
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "Gamma", "d", "ee", "ff-g", "1234", "x!"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        # random whitespace runs between words, mixed case
+        text = "".join(
+            rng.choice([" ", "  ", "\t", "\n"]) + rng.choice(words)
+            for _ in range(n)
+        )
+        rows.append((i, text))
+    rows += [(100, ""), (101, "   "), (102, "one two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", _shingle_array(df, 3).alias("sh")
+        ).collect()
+    }
+
+    import re
+
+    for doc_id, text in rows:
+        # engine semantics (pinned identically in the DuckDB oracles):
+        # trim strips ASCII spaces ONLY, then split on \s+ — a leading
+        # tab/newline therefore yields an empty first token
+        t = text.lower().strip(" ")
+        toks = re.split(r"\s+", t) if len(t) else []
+        if len(toks) < 3:
+            want = {" ".join(toks)}  # degenerate: single joined gram
+        else:
+            want = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        assert got[doc_id] == want, (doc_id, text)
