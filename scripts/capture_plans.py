@@ -30,6 +30,8 @@ NOTES = {
     "fingerprint": "pure narrow plan",
     "doc_split": "pure narrow plan",
     "ann_buckets": "one narrow mapInPandas (plane matrix is a python constant)",
+    "token_bpe": "pure narrow plan (regexp_extract_all + aggregate, JVM-side)",
+    "dedup_stream": "plan shown is the batch read of the stream's sink; the streaming plan is scan -> applyInPandasWithState (state store keyed by fp) -> sink",
 }
 
 
