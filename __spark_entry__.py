@@ -222,7 +222,11 @@ def q_dedup_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # ADVICE r3: a timed-out stream would leave a PARTIAL sink that
+        # reads as a silently truncated result — fail loudly instead
+        q.stop()
+        raise RuntimeError("dedup_stream did not terminate within 300s")
     return spark.read.parquet(outdir)
 
 
@@ -258,14 +262,27 @@ def q_ann_topk(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir), bits=6, k=3)
 
 
+def _ivf_centroids():
+    """The offline-fitted IVF coarse quantizer (scripts/fit_ivf.py:
+    deterministic spherical k-means on the id-sorted sf0.01 embeddings) —
+    a versioned artifact constant, embedded as literals in the SQL oracle
+    the same way the hyperplane matrix derivation is shared."""
+    import numpy as np
+
+    return np.load(
+        os.path.join(_REPO, "learnhtml_spark", "artifacts", "ivf_centroids.npz")
+    )["centroids"]
+
+
 def q_ivf_topk(spark, sf_dir):
     # the SECOND ANN family: IVF-flat (coarse quantize to nearest centroid,
-    # exact cosine within the inverted list).  Centroids are data-seeded
-    # deterministically (smallest n vec_ids) so the SQL oracle replays the
-    # exact assignment; production fits k-means offline, same plan.
+    # exact cosine within the inverted list).  Centroids are k-means-fitted
+    # OFFLINE (scripts/fit_ivf.py) and shipped as an artifact — the
+    # production IVF shape; assignment is a bit-stable sequential fold the
+    # SQL oracle replays against the same centroid literals.
     from learnhtml_spark.functions.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), n_centroids=8, k=3)
+    return ivf_topk(_emb(spark, sf_dir), k=3, centroids=_ivf_centroids())
 
 
 def q_events_hourly(spark, sf_dir):
@@ -458,11 +475,12 @@ toks as (
   from documents
 ),
 sh as (
-  select doc_id, unnest(list_distinct(
+  select doc_id, unnest(list_distinct(list_filter(
            case when len(t) < 3 then [array_to_string(t, ' ')]
                 else list_transform(range(1, len(t) - 1),
-                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) end
-         )) as shingle
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) end,
+           s -> trim(s) <> ''
+         ))) as shingle
   from toks
 )
 """
@@ -662,15 +680,26 @@ ranked as (
 select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
 """
 
-_IVF_TOPK_SQL = r"""
+# fitted-centroid IVF oracle: the k-means artifact's values are embedded
+# as exact (repr-round-trip) double literals, and the assignment score is
+# the same sequential dim-by-dim fold + 6dp round the Spark kernel uses
+# (similarity.ivf_assign_cells) — cell assignment is bit-stable across
+# engines by construction, not by tolerance.
+def _ivf_topk_sql() -> str:
+    from learnhtml_spark.functions.similarity import ivf_centroid_literals
+
+    cent = _ivf_centroids()
+    return (
+        r"""
 with cents as (
-  select vec_id as cid, embedding as cemb
-  from embeddings order by vec_id limit 8
+  select unnest(range(0, """ + str(len(cent)) + r""")) as cid,
+         unnest(""" + ivf_centroid_literals(cent) + r"""::double[][]) as cemb
 ),
 assign as (
   select e.vec_id, e.embedding,
          (select c.cid from cents c
-          order by round(list_cosine_similarity(e.embedding::double[], c.cemb::double[]), 6) desc,
+          order by round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   d -> e.embedding[d]::double * c.cemb[d])), 6) desc,
                    c.cid asc
           limit 1) as cell
   from embeddings e
@@ -687,6 +716,10 @@ ranked as (
 )
 select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
 """
+    )
+
+
+_IVF_TOPK_SQL = _ivf_topk_sql()
 
 _EVENTS_SQL = r"""
 select event_type,

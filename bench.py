@@ -388,7 +388,48 @@ def main():
     result["query_noise"] = query_noise
     result["query_probes_rel"] = query_probes
     spark.stop()
-    print(json.dumps(result))
+
+    # --- record emission (driver-robust) -----------------------------------
+    # The driver captures a BOUNDED tail of stdout (~2-4 KB): round 3's full
+    # record grew past it and the front-positioned headline fields (value,
+    # docs/s, scaling efficiency) fell out of the captured window —
+    # BENCH_r03.json landed with parsed:null (VERDICT r3 #1).  Fix: the full
+    # record goes to an artifact FILE, and stdout's final line is a compact
+    # headline-only JSON guaranteed to fit any plausible tail window.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_ARTIFACT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts_bench_full.json"),
+    )
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "unit": "sec",
+        "sf": SF,
+        "value": result["value"],
+        "value_certified": result["value_certified"],
+        "docs_per_sec_certified": result["docs_per_sec_certified"],
+        "n_docs": n_docs,
+        "docs_per_sec": result["docs_per_sec"],
+        "wall_sec": result["wall_sec"],
+        "scaling_pair": result["scaling_pair"],
+        "scaling_efficiency": result["scaling_efficiency"],
+        "noise_tier": result["noise_tier"],
+        "scaling_efficiency_full_machine":
+            result["scaling_efficiency_full_machine"],
+        "queries": queries,
+        "noisy_queries": sorted(
+            n for n, f in query_noise.items() if f == "noisy"
+        ),
+        "full_record": full_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+        compact.pop("noisy_queries", None)
+        compact.pop("wall_sec", None)
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

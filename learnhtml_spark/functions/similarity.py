@@ -20,9 +20,12 @@ whole ANN query to seconds.  All kernels here are ``mapInPandas`` /
 lambdas in hot paths.
 
 Rounding: sims and projections are rounded to 6 dp with HALF-AWAY-FROM-ZERO
-(``_round6``), matching Spark's ``F.round`` (BigDecimal HALF_UP) and
-DuckDB's ``round`` — NOT numpy's default banker's rounding, which differs
-on exact 5e-7 boundaries.
+(``_round6``), matching DuckDB's binary ``round`` — NOT numpy's default
+banker's rounding, which differs on exact 5e-7 boundaries.  Spark's
+``F.round`` (BigDecimal over the shortest decimal string) can differ from
+both at decimal-representation boundaries, so no kernel here may mix
+``F.round`` with ``_round6`` on the same values (none does — rounding
+happens only inside the numpy kernels).
 """
 
 from __future__ import annotations
@@ -36,8 +39,12 @@ _MAX_BROADCAST_ROWS = 200_000  # ~100 MB at 64 float64 dims — broadcast ceilin
 
 
 def _round6(x):
-    """round(x, 6) half-away-from-zero — Spark/DuckDB ``round`` semantics
-    (numpy's np.round is half-to-even; ADVICE r2 flagged the mismatch)."""
+    """round(x, 6) half-away-from-zero on the BINARY double — parity with
+    DuckDB's ``round`` (the oracle engine), NOT numpy's np.round
+    (half-to-even, ADVICE r2) and not necessarily Spark's ``F.round``
+    (BigDecimal over the shortest decimal string, which can differ at
+    decimal-representation boundaries — ADVICE r3).  Spark-side kernels
+    must round via this function only, never ``F.round``."""
     import numpy as np
 
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
@@ -136,7 +143,9 @@ def _ids_vectorizable(ids) -> bool:
     )
 
 
-def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def cosine_topk(
+    embeddings: DataFrame, k: int = 5, max_rows: int | None = None
+) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, sim,
     rank); ties broken by neighbor_id; sim rounded (HALF_UP) for
     float-stable comparison.
@@ -144,27 +153,31 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     EAGER at call time: the corpus is counted and collected to the driver
     (the explicit broadcast build side of an all-pairs comparison — exact
     top-k needs the whole corpus against every row by definition).  A
-    row-count guard caps the collect at ``_MAX_BROADCAST_ROWS``; beyond
-    that the right tool is ``ann_lsh_topk`` (bucketed, no driver
-    materialization).  Each Arrow batch then does ONE numpy
-    (batch × corpus) matmul + top-k: zero shuffles, embarrassingly
-    parallel over the query rows."""
+    row-count guard caps the collect at ``max_rows`` (default
+    ``_MAX_BROADCAST_ROWS``; callers with ample driver memory may raise
+    it — ADVICE r3 escape hatch); beyond that the right tool is
+    ``ann_lsh_topk`` (bucketed, no driver materialization).  Each Arrow
+    batch then does ONE numpy (batch × corpus) matmul + top-k: zero
+    shuffles, embarrassingly parallel over the query rows."""
     import numpy as np
     import pandas as pd
 
+    if max_rows is None:
+        max_rows = _MAX_BROADCAST_ROWS
     spark = embeddings.sparkSession
     # limit(cap+1): one job, and the driver never materializes more than
     # cap+1 rows even when the corpus is huge — the guard IS the collect
     rows = (
         embeddings.select("vec_id", "embedding")
-        .limit(_MAX_BROADCAST_ROWS + 1)
+        .limit(max_rows + 1)
         .collect()
     )
-    if len(rows) > _MAX_BROADCAST_ROWS:
+    if len(rows) > max_rows:
         raise ValueError(
             f"cosine_topk is the exact all-pairs baseline and broadcasts the "
-            f"corpus (> cap {_MAX_BROADCAST_ROWS} rows); use ann_lsh_topk "
-            f"(LSH-bucketed, distributed) for large corpora."
+            f"corpus (> cap {max_rows} rows); raise max_rows= if the driver "
+            f"can hold the corpus, or use ann_lsh_topk (LSH-bucketed, "
+            f"distributed) for large corpora."
         )
     ids = np.array([r["vec_id"] for r in rows])
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -335,8 +348,76 @@ def _group_topk_pdf(pdf, k: int):
     return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim", "rank"])
 
 
+def fit_ivf_centroids(mat, n_centroids: int, n_iter: int = 8):
+    """Deterministic spherical k-means: ``mat`` is an (n × dims) float
+    matrix whose ROW ORDER the caller must fix (sort by vec_id) — the fit
+    is then a pure function of the data, no RNG.  Init = the vectors at
+    ``n_centroids`` evenly spaced positions of the given order (spread
+    across the corpus without randomness); ``n_iter`` Lloyd rounds assign
+    by cosine (argmax, first-max tie-break) and recenter to the normalized
+    mean direction; empty clusters keep their previous centroid.  Returns
+    a unit-norm (n_centroids × dims) float64 centroid matrix — ship it to
+    ``ivf_topk`` AND embed the identical values as SQL literals in oracles
+    (the data-dependent analog of ``_plane_matrix``)."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float64)
+    n = mat.shape[0]
+    if n < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors, got {n}")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    idx = (np.arange(n_centroids, dtype=np.int64) * n) // n_centroids
+    cent = unit[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.sqrt((v * v).sum())
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_centroid_literals(cent) -> str:
+    """DuckDB literal for the fitted centroid matrix: a list-of-lists whose
+    float components are ``repr``-round-trip exact, for embedding in oracle
+    SQL (``unnest`` zip against ``range(n)`` yields (cid, cemb) rows)."""
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in cent
+        )
+        + "]"
+    )
+
+
+def ivf_assign_cells(q_mat, cent_unit):
+    """Cell index per row: argmax over centroids of the 6-dp-rounded dot
+    product with the UNIT centroid (same argmax as cosine — the query norm
+    is constant across centroids), ties to the smallest cell id.  The dot
+    folds dim-by-dim like ``_bucket_codes`` so the float64 addition order
+    matches DuckDB's sequential ``list_sum`` fold — cell assignment is
+    bit-stable across engines by construction (ADVICE r3: the previous
+    matmul-vs-list_cosine_similarity pairing was only tolerance-stable)."""
+    import numpy as np
+
+    n = q_mat.shape[0]
+    n_cent, dims = cent_unit.shape
+    proj = np.zeros((n, n_cent), dtype=np.float64)
+    for d in range(dims):
+        proj += q_mat[:, d : d + 1] * cent_unit[:, d]
+    return np.argmax(_round6(proj), axis=1).astype(np.int32)
+
+
 def ivf_topk(
-    embeddings: DataFrame, n_centroids: int = 8, k: int = 3
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    k: int = 3,
+    centroids=None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize each vector to its
     nearest centroid's inverted list, then exact cosine ranking within the
@@ -344,18 +425,50 @@ def ivf_topk(
     (hyperplane LSH): IVF adapts to the data's cluster structure where LSH
     buckets are data-oblivious.
 
-    Centroids here are DATA-SEEDED deterministically (the ``n_centroids``
-    vectors with smallest vec_id) so a SQL oracle can replay the exact
-    assignment; a production deployment fits k-means offline and ships the
-    centroid matrix the same way — the Spark plan is identical either way:
-    centroids broadcast to a narrow mapInPandas assignment (one numpy
-    (batch × centroids) matmul), ONE shuffle (groupBy cell), one gram
-    matrix per inverted list via applyInPandas.  Assignment ties break to
-    the smallest centroid id on both engines (rounded sims, first-max)."""
+    ``centroids`` is the fitted unit-norm centroid matrix
+    (``fit_ivf_centroids``, fitted offline on a corpus sample and shipped
+    as an artifact — the production IVF deployment shape); cells are
+    centroid indices and assignment is bit-stable vs the SQL oracle
+    (``ivf_assign_cells``).  With ``centroids=None`` the legacy DATA-SEEDED
+    mode runs (centroids = the ``n_centroids`` vectors with smallest
+    vec_id; assignment by rounded cosine vs each seed) — kept for recall
+    comparison against the fitted fit (BENCH.md).
+
+    Plan (both modes): centroid matrix broadcast into a narrow mapInPandas
+    assignment, ONE shuffle (groupBy cell), one numpy gram matrix per
+    inverted list via applyInPandas."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
+    id_t = _id_schema(embeddings).split(" ")[1]
+
+    if centroids is not None:
+        cent_unit = np.asarray(centroids, dtype=np.float64)
+        bc = spark.sparkContext.broadcast(cent_unit)
+
+        def assign(batches):
+            cu = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cells = ivf_assign_cells(_emb_f64(pdf["embedding"]), cu)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": cells,
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+            assign, schema=f"vec_id {id_t}, cell int, embedding array<float>"
+        )
+        schema = f"vec_id {id_t}, neighbor_id {id_t}, sim double, rank int"
+        return assigned.groupBy("cell").applyInPandas(
+            lambda pdf: _group_topk_pdf(pdf, k), schema=schema
+        )
+
     cent_rows = (
         embeddings.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -368,8 +481,6 @@ def ivf_topk(
     cent_norm[cent_norm == 0] = 1.0
     cent_unit = cent / cent_norm[:, None]
     bc = spark.sparkContext.broadcast((cent_ids, cent_unit))
-
-    id_t = _id_schema(embeddings).split(" ")[1]
 
     def assign(batches):
         ids_c, cu = bc.value

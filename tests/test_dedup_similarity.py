@@ -223,4 +223,63 @@ def test_shingle_array_matches_python_reference(spark):
             want = {
                 " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
             }
+        # r4: blank grams filtered — empty docs have NO shingles
+        want = {w for w in want if w.strip(" ") != ""}
         assert got[doc_id] == want, (doc_id, text)
+
+
+def test_empty_docs_produce_no_pairs(spark):
+    """N empty/whitespace docs must not collide on a degenerate ''
+    shingle: no jaccard pairs, no LSH candidates, empty shingle arrays
+    (VERDICT r3 #4 — previously bounded only by the frequency cap)."""
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.dedup import (
+        _shingle_array,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, ["", "   ", "\t\n"][i % 3]) for i in range(30)]
+    rows.append((99, "one real document with several words in it"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(_shingle_array(df, 3)).alias("n")
+        ).collect()
+    }
+    assert sizes[99] > 0
+    assert all(n == 0 for d, n in sizes.items() if d != 99)
+    assert ngram_jaccard_pairs(df, threshold=0.0).count() == 0
+    assert minhash_lsh_candidates(df).count() == 0
+
+
+def test_sibling_positions_many_chunks_plan_builds_fast(spark):
+    """Chunk assignment must stay a single O(1)-depth expression: at 1024
+    requested chunks the plan must BUILD in about a second (the r3 chained
+    when() grew a 1024-deep tree) and still rank correctly."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.windows import sibling_positions
+
+    rows = [(i, f"s{i % 5}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    t0 = time.time()
+    out = sibling_positions(df, num_partitions=1024)
+    build_s = time.time() - t0  # includes the boundary-sample job
+    assert build_s < 10.0, f"plan build took {build_s:.1f}s"
+    got = {
+        (r["doc_id"], r["source"]): r["sibling_pos"] for r in out.collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["source"]): r["pos"]
+        for r in df.select(
+            "doc_id", "source", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+    }
+    assert got == want

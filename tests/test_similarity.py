@@ -211,3 +211,74 @@ def test_ivf_topk_equals_within_cell_cosine(emb):
             assert sim == pytest.approx(-negsim, abs=2e-6)
         # no extra ranks beyond the cell's candidate count
         assert (vid, len(cands) + 1) not in got
+
+
+def test_cosine_topk_max_rows_escape_hatch(emb, monkeypatch):
+    """ADVICE r3: callers with ample driver memory may raise the collect
+    cap explicitly instead of being hard-refused."""
+    import learnhtml_spark.functions.similarity as sim
+
+    monkeypatch.setattr(sim, "_MAX_BROADCAST_ROWS", 5)
+    out = sim.cosine_topk(emb, k=2, max_rows=100)
+    assert out.count() > 0
+
+
+def test_fit_ivf_centroids_deterministic_unit_and_clustered(emb):
+    """The offline fit is a pure function of the (ordered) input: two fits
+    are byte-identical, centroids are unit-norm, and the two synthetic
+    clusters land in different cells."""
+    from learnhtml_spark.functions.similarity import (
+        fit_ivf_centroids,
+        ivf_assign_cells,
+    )
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c1 = fit_ivf_centroids(mat, 3, n_iter=8)
+    c2 = fit_ivf_centroids(mat, 3, n_iter=8)
+    assert c1.tobytes() == c2.tobytes()
+    assert np.allclose(np.sqrt((c1 * c1).sum(axis=1)), 1.0)
+    cells = ivf_assign_cells(mat, c1)
+    assert len(set(cells[:5])) == 1          # cluster A coherent
+    assert len(set(cells[5:10])) == 1        # cluster B coherent
+    assert cells[0] != cells[5]              # clusters separated
+
+
+def test_ivf_topk_fitted_equals_within_cell_cosine(emb):
+    """Fitted-centroid mode: result equals cosine ranking restricted to
+    each inverted list under ivf_assign_cells' bit-stable assignment."""
+    from learnhtml_spark.functions.similarity import (
+        fit_ivf_centroids,
+        ivf_assign_cells,
+        ivf_topk,
+    )
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = fit_ivf_centroids(mat, 3, n_iter=8)
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ivf_topk(emb, k=2, centroids=cent).collect()
+    }
+    cells = dict(zip(ids, ivf_assign_cells(mat, cent)))
+    vecs = dict(zip(ids, mat))
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    n_checked = 0
+    for vid in ids:
+        cands = sorted(
+            ((-cos(vecs[vid], vecs[o]), o)
+             for o in ids if o != vid and cells[o] == cells[vid]),
+        )[:2]
+        for rank, (negsim, o) in enumerate(cands, 1):
+            nb, sim = got[(vid, rank)]
+            assert nb == o, (vid, rank)
+            assert sim == pytest.approx(-negsim, abs=2e-6)
+            n_checked += 1
+        assert (vid, len(cands) + 1) not in got
+    assert n_checked > 0
