@@ -285,6 +285,26 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), k=3, centroids=_ivf_centroids())
 
 
+def q_ivf_probe(spark, sf_dir):
+    # IVF recall lever (BENCH.md): each vector indexed once, query side
+    # probes its 2 nearest cells, per-cell winners re-ranked globally —
+    # measured recall@3 0.33 -> 0.52 at n_centroids=8 on sf0.1
+    from learnhtml_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), k=3, centroids=_ivf_centroids(), nprobe=2
+    )
+
+
+def q_ann_multiprobe(spark, sf_dir):
+    # LSH recall lever (BENCH.md): probe the home bucket plus all buckets
+    # at Hamming distance 1 — recall@3 0.16 -> 0.51 at bits=4 on sf0.1
+    # while the index stays single-copy
+    from learnhtml_spark.functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), bits=4, k=3, multiprobe=1)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -379,7 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
+        "ann_multiprobe": q_ann_multiprobe,
         "ivf_topk": q_ivf_topk,
+        "ivf_probe": q_ivf_probe,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "doc_split": q_doc_split,
@@ -683,9 +705,11 @@ select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where ran
 # fitted-centroid IVF oracle: the k-means artifact's values are embedded
 # as exact (repr-round-trip) double literals, and the assignment score is
 # the same sequential dim-by-dim fold + 6dp round the Spark kernel uses
-# (similarity.ivf_assign_cells) — cell assignment is bit-stable across
-# engines by construction, not by tolerance.
-def _ivf_topk_sql() -> str:
+# (similarity.ivf_assign_cells / the nprobe probe kernel) — cell
+# assignment is bit-stable across engines by construction, not tolerance.
+# probes = the nprobe best cells per vector; members (the index) = the
+# single best cell — mirroring ivf_topk's single-copy index invariant.
+def _ivf_topk_sql(nprobe: int) -> str:
     from learnhtml_spark.functions.similarity import ivf_centroid_literals
 
     cent = _ivf_centroids()
@@ -695,19 +719,21 @@ with cents as (
   select unnest(range(0, """ + str(len(cent)) + r""")) as cid,
          unnest(""" + ivf_centroid_literals(cent) + r"""::double[][]) as cemb
 ),
-assign as (
-  select e.vec_id, e.embedding,
-         (select c.cid from cents c
-          order by round(list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   d -> e.embedding[d]::double * c.cemb[d])), 6) desc,
-                   c.cid asc
-          limit 1) as cell
-  from embeddings e
+scored as (
+  select e.vec_id, e.embedding, c.cid,
+         row_number() over (partition by e.vec_id
+             order by round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      d -> e.embedding[d]::double * c.cemb[d])), 6) desc,
+                      c.cid asc) as crank
+  from embeddings e cross join cents c
 ),
+home as (select vec_id, embedding, cid as cell from scored where crank = 1),
+probes as (select vec_id, embedding, cid as cell from scored where crank <= """
+        + str(nprobe) + r"""),
 sims as (
-  select a.vec_id as vec_id, b.vec_id as neighbor_id,
-         round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) as sim
-  from assign a join assign b on a.cell = b.cell and a.vec_id <> b.vec_id
+  select p.vec_id as vec_id, m.vec_id as neighbor_id,
+         round(list_cosine_similarity(p.embedding::double[], m.embedding::double[]), 6) as sim
+  from probes p join home m on p.cell = m.cell and p.vec_id <> m.vec_id
 ),
 ranked as (
   select vec_id, neighbor_id, sim,
@@ -719,7 +745,47 @@ select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where ran
     )
 
 
-_IVF_TOPK_SQL = _ivf_topk_sql()
+_IVF_TOPK_SQL = _ivf_topk_sql(1)
+_IVF_PROBE_SQL = _ivf_topk_sql(2)
+
+# multiprobe-LSH oracle: same md5-derived hyperplane buckets at bits=4;
+# every vector is indexed in its home bucket only, and its query side
+# probes home + the 4 buckets at Hamming distance 1 — each (query, member)
+# pair matches in exactly one probe, so a plain global rank finishes it.
+_ANN_MULTIPROBE_SQL = r"""
+with proj as (
+  select vec_id, embedding,
+         list_transform(range(0, 4), b -> round(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+             d -> embedding[d]::double *
+                  (cast(strpos('0123456789abcdef', substr(md5(cast(b as varchar) || ':' || cast(d - 1 as varchar)), 1, 1)) - 1 as double) - 7.5)
+           )), 6)) as p
+  from embeddings
+),
+bucketed as (
+  select vec_id, embedding,
+         cast(list_sum(list_transform(range(0, 4),
+              b -> case when p[b + 1] > 0 then cast(pow(2, b) as bigint) else 0 end)) as int) as bucket
+  from proj
+),
+probes as (
+  select vec_id, embedding,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, 4), b -> xor(bucket, cast(pow(2, b) as int))))) as pbucket
+  from bucketed
+),
+sims as (
+  select p.vec_id as vec_id, m.vec_id as neighbor_id,
+         round(list_cosine_similarity(p.embedding::double[], m.embedding::double[]), 6) as sim
+  from probes p join bucketed m on p.pbucket = m.bucket and p.vec_id <> m.vec_id
+),
+ranked as (
+  select vec_id, neighbor_id, sim,
+         row_number() over (partition by vec_id order by sim desc, neighbor_id asc) as rank
+  from sims
+)
+select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
+"""
 
 _EVENTS_SQL = r"""
 select event_type,
@@ -849,7 +915,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "ann_multiprobe": _ANN_MULTIPROBE_SQL,
         "ivf_topk": _IVF_TOPK_SQL,
+        "ivf_probe": _IVF_PROBE_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "events_hourly": _EVENTS_SQL,
         "doc_split": _SPLIT_SQL,

@@ -282,3 +282,88 @@ def test_ivf_topk_fitted_equals_within_cell_cosine(emb):
             n_checked += 1
         assert (vid, len(cands) + 1) not in got
     assert n_checked > 0
+
+
+def test_ann_multiprobe_equals_python_reference(emb):
+    """multiprobe=1 must equal brute-force top-k restricted to the union
+    of the home bucket and all Hamming-distance-1 buckets, with members
+    drawn from home buckets only (single-copy index)."""
+    from learnhtml_spark.functions.similarity import (
+        _bucket_codes,
+        _round6,
+        ann_lsh_topk,
+    )
+
+    bits, k = 4, 2
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    codes = dict(zip(ids, _bucket_codes(mat, bits)))
+    vecs = dict(zip(ids, mat))
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(_round6(np.dot(a / (na or 1.0), b / (nb or 1.0))))
+
+    got = {}
+    for r in ann_lsh_topk(emb, bits=bits, k=k, multiprobe=1).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"])
+        )
+    for vid in ids:
+        probe_buckets = {codes[vid]} | {
+            codes[vid] ^ (1 << b) for b in range(bits)
+        }
+        cands = sorted(
+            (-cos(vecs[vid], vecs[o]), o)
+            for o in ids
+            if o != vid and codes[o] in probe_buckets
+        )[:k]
+        want = [(i + 1, o, -negs) for i, (negs, o) in enumerate(cands)]
+        have = sorted(got.get(vid, []))
+        assert [(r, n) for r, n, _ in have] == [(r, n) for r, n, _ in want]
+        for (_, _, s_have), (_, _, s_want) in zip(have, want):
+            assert s_have == pytest.approx(s_want, abs=2e-6)
+
+
+def test_ivf_nprobe_equals_python_reference(emb):
+    """nprobe=2 must equal brute-force top-k over members of the query's 2
+    best cells, members indexed in their single best cell only."""
+    from learnhtml_spark.functions.similarity import (
+        _round6,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    k = 2
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = fit_ivf_centroids(mat, 3, n_iter=8)
+
+    proj = np.zeros((len(ids), len(cent)), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        proj += mat[:, d : d + 1] * cent[:, d]
+    order = np.argsort(-_round6(proj), axis=1, kind="stable")
+    home = dict(zip(ids, order[:, 0]))
+    probe2 = {v: set(order[i, :2]) for i, v in enumerate(ids)}
+    vecs = dict(zip(ids, mat))
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(_round6(np.dot(a / (na or 1.0), b / (nb or 1.0))))
+
+    got = {}
+    for r in ivf_topk(emb, k=k, centroids=cent, nprobe=2).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"])
+        )
+    for vid in ids:
+        cands = sorted(
+            (-cos(vecs[vid], vecs[o]), o)
+            for o in ids
+            if o != vid and home[o] in probe2[vid]
+        )[:k]
+        want = [(i + 1, o) for i, (_, o) in enumerate(cands)]
+        have = [(r, n) for r, n, _ in sorted(got.get(vid, []))]
+        assert have == want, vid
