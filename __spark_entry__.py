@@ -230,6 +230,45 @@ def q_dedup_stream(spark, sf_dir):
     return spark.read.parquet(outdir)
 
 
+def q_neardup_stream(spark, sf_dir):
+    """Streaming NEAR-dup (MinHash band signatures in keyed state — the
+    streaming twin of neardup_pipe's candidate generator) replayed over
+    the documents table with Trigger.AvailableNow: one micro-batch, so
+    first-seen-wins state verdicts equal the batch band-group-min window
+    the SQL oracle computes."""
+    import tempfile
+
+    from learnhtml_spark.streaming.dedup_stream import DOCS_SCHEMA
+    from learnhtml_spark.streaming.neardup_stream import (
+        neardup_verdicts,
+        streaming_neardup_bands,
+    )
+
+    work = tempfile.mkdtemp(prefix="neardup_stream_")
+    outdir = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        neardup_verdicts(batch_df).write.mode("append").parquet(outdir)
+
+    q = (
+        streaming_neardup_bands(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("neardup_stream did not terminate within 300s")
+    return spark.read.parquet(outdir)
+
+
 def q_simhash(spark, sf_dir):
     from learnhtml_spark.functions.dedup import simhash
 
@@ -395,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "neardup_pipe": q_neardup_pipe,
+        "neardup_stream": q_neardup_stream,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
@@ -589,8 +629,24 @@ def _sub_mh(sql: str) -> str:
     ).replace("{_MH_B}", "[" + ", ".join(map(str, _B16)) + "]")
 
 
+# streaming near-dup oracle: the AvailableNow replay is ONE micro-batch,
+# so the keyed band state's first-seen-wins keeper equals the batch
+# window min over each (band, band_sig) group — the one-hop keeper per
+# doc is the min over its bands' group keepers.
+_NEARDUP_STREAM_SQL = _MINHASH_CTES + r""",
+m as (
+  select doc_id, band, band_sig,
+         min(doc_id) over (partition by band, band_sig) as grp_min
+  from bands
+)
+select doc_id, min(grp_min) as keep_doc_id,
+       min(grp_min) <> doc_id as is_duplicate
+from m group by doc_id
+"""
+
 _MINHASH_SQL = _sub_mh(_MINHASH_SQL)
 _NEARDUP_PIPE_SQL = _sub_mh(_NEARDUP_PIPE_SQL)
+_NEARDUP_STREAM_SQL = _sub_mh(_NEARDUP_STREAM_SQL)
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
 # final signature cast to bigint explicitly (DuckDB sum() widens to
@@ -911,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_pipe": _NEARDUP_PIPE_SQL,
+        "neardup_stream": _NEARDUP_STREAM_SQL,
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,

@@ -283,3 +283,55 @@ def test_sibling_positions_many_chunks_plan_builds_fast(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_band_signatures_narrow_equals_batch_path(docs):
+    """The streaming-safe one-pass aggregate band signature must be
+    value-identical to the batch explode+groupBy minhash path (same md5
+    hashes, same universal-hash constants, same sorted band string)."""
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.dedup import minhash_signatures
+    from learnhtml_spark.streaming.neardup_stream import band_signatures_narrow
+
+    sig = minhash_signatures(docs, 16, 3)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.array(
+                                *[F.col(f"mh{b * 4 + j + 1}") for j in range(4)]
+                            )
+                        ),
+                        lambda c: c.cast("string"),
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    batch = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in sig.select("doc_id", F.explode(band_structs).alias("x"))
+        .select("doc_id", "x.band", "x.band_sig")
+        .collect()
+    }
+    narrow = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in band_signatures_narrow(docs).collect()
+    }
+    assert narrow == batch
+    # the empty doc (id 5) has no shingles -> no bands on either path
+    assert not any(d == 5 for d, _ in narrow)
+    # the narrow path must be shuffle-free (streaming-safe)
+    plan = (
+        band_signatures_narrow(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

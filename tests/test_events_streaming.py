@@ -175,3 +175,66 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     write_docs(ind / "b.parquet", [(1, "hello world", "en", "s3")])
     got2 = drain("dedup_2")
     assert got2 == {1: (2, True)}  # update mode: only the touched doc
+
+
+def test_streaming_neardup_bands_first_seen_wins(spark, tmp_path):
+    """Streaming near-dup: a doc sharing ANY MinHash band with an earlier
+    doc is flagged; keepers persist across a checkpoint restart; verdicts
+    equal the batch band-group-min window within one micro-batch."""
+    import pandas as pd
+
+    from learnhtml_spark.streaming.dedup_stream import read_docs_stream
+    from learnhtml_spark.streaming.neardup_stream import (
+        neardup_verdicts,
+        streaming_neardup_bands,
+    )
+
+    ind = tmp_path / "nd_in"
+    ind.mkdir()
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    other = "completely unrelated content about distributed query engines"
+
+    def write_docs(path, rows):
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source"]
+        ).to_parquet(path, index=False)
+
+    write_docs(
+        ind / "a.parquet",
+        [(7, base, "en", "s1"), (3, near, "en", "s2"), (9, other, "en", "s1")],
+    )
+
+    def drain(name):
+        outdir = str(tmp_path / name)
+
+        def sink(batch_df, batch_id):
+            neardup_verdicts(batch_df).write.mode("append").parquet(outdir)
+
+        q = (
+            streaming_neardup_bands(read_docs_stream(spark, str(ind)))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            r["doc_id"]: (r["keep_doc_id"], r["is_duplicate"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    got1 = drain("nd_1")
+    # 3 and 7 share nearly all shingles -> some band collides; min wins
+    assert got1[3] == (3, False)
+    assert got1[7] == (3, True)
+    assert got1[9] == (9, False)
+
+    # restart: doc 1 repeats the base text exactly — every band matches
+    # the stored (keeper=3) state even though 1 < 3: first-seen wins
+    write_docs(ind / "b.parquet", [(1, base, "en", "s3")])
+    got2 = drain("nd_2")
+    assert got2 == {1: (3, True)}
