@@ -34,13 +34,16 @@ def _session(cores: str):
 
 
 def cmd_extract(args):
-    from learnhtml_spark.model import NodeClassifier
+    from learnhtml_spark.exact_model import load_any_model_path
     from learnhtml_spark.operators.extract import extract_content_spans
     from learnhtml_spark.sources.tables import write_extraction_run
 
     spark = _session(args.cores)
     docs = spark.read.parquet(args.input)
-    model = NodeClassifier.load(args.model)
+    # --model accepts either artifact kind: the hashed production model
+    # (model.npz) or the exact-vectorizer pipeline (exact.npz,
+    # scripts/train_exact_model.py — MODEL.md's measured-better config)
+    model = load_any_model_path(args.model)
     if args.resume_base:
         summary = write_extraction_run(
             docs, model.to_bytes(), args.resume_base, args.run_id,

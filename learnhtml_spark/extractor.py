@@ -60,4 +60,6 @@ class HTMLExtractor:
 
     @classmethod
     def load(cls, path: str, **kw) -> "HTMLExtractor":
-        return cls(NodeClassifier.load(path), **kw)
+        from learnhtml_spark.exact_model import load_any_model_path
+
+        return cls(load_any_model_path(path), **kw)

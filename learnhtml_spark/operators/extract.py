@@ -54,7 +54,12 @@ _MODEL_CACHE: dict = {}
 def _load_model(key, payload: bytes) -> NodeClassifier:
     model = _MODEL_CACHE.get(key)
     if model is None:
-        model = NodeClassifier.from_bytes(payload)
+        # dispatches on the artifact type: hashed NodeClassifier (the 100 TB
+        # default) or the exact-vectorizer pipeline (MODEL.md's
+        # measured-better config, selectable via `extract --model exact.npz`)
+        from learnhtml_spark.exact_model import load_any_model
+
+        model = load_any_model(payload)
         _MODEL_CACHE.clear()  # keep at most one model resident per worker
         _MODEL_CACHE[key] = model
     return model
