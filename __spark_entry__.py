@@ -214,20 +214,41 @@ def q_dedup_stream(spark, sf_dir):
     def sink(batch_df, batch_id):
         batch_df.write.mode("append").parquet(outdir)
 
-    q = (
-        streaming_exact_dedup(stream)
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # ADVICE r3: a timed-out stream would leave a PARTIAL sink that
-        # reads as a silently truncated result — fail loudly instead
-        q.stop()
-        raise RuntimeError("dedup_stream did not terminate within 300s")
+    with _state_partitions(spark, 16):
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # ADVICE r3: a timed-out stream would leave a PARTIAL sink that
+            # reads as a silently truncated result — fail loudly instead
+            q.stop()
+            raise RuntimeError("dedup_stream did not terminate within 300s")
     return spark.read.parquet(outdir)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _state_partitions(spark, n: int):
+    """Pin the STATE partition count for a streaming replay: a stateful
+    query freezes spark.sql.shuffle.partitions into its checkpoint as the
+    number of state store instances, and each instance pays per-batch
+    commit + maintenance overhead — 64 stores cost ~2.5× the wall of 16
+    on the replay corpus (measured A/B, BENCH.md r4).  A production
+    deployment sizes this to the cluster at FIRST start; the replay sizes
+    it to the replay corpus.  Restores the session conf afterwards."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_neardup_stream(spark, sf_dir):
@@ -255,17 +276,18 @@ def q_neardup_stream(spark, sf_dir):
     def sink(batch_df, batch_id):
         neardup_verdicts(batch_df).write.mode("append").parquet(outdir)
 
-    q = (
-        streaming_neardup_bands(stream)
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("neardup_stream did not terminate within 300s")
+    with _state_partitions(spark, 16):
+        q = (
+            streaming_neardup_bands(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("neardup_stream did not terminate within 300s")
     return spark.read.parquet(outdir)
 
 
