@@ -366,6 +366,44 @@ def q_ann_multiprobe(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir), bits=4, k=3, multiprobe=1)
 
 
+def q_doc_chunks(spark, sf_dir):
+    # training-data chunking: overlapping token windows (50/stride 40),
+    # fully narrow (tokenize -> posexplode starts -> slice)
+    from learnhtml_spark.functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=50, stride=40)
+
+
+def q_top_terms(spark, sf_dir):
+    # corpus vocabulary head: one hash aggregate + TakeOrdered top-k
+    from learnhtml_spark.functions.chunking import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=50)
+
+
+def q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: the eval set's 5-gram set is broadcast;
+    # the corpus side is one shingle pass + broadcast semi-join
+    from learnhtml_spark.functions.chunking import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), eval_n=20, k=5)
+
+
+def q_media_features(spark, sf_dir):
+    # multimodal decode path on REAL bytes end-to-end: deterministic
+    # BMP/PCM-WAV payloads synthesized per doc (encoders are exact
+    # inverses of the pure-numpy decoders), then decode + thumbnail /
+    # RMS-envelope extraction inside mapInPandas.  Not SQL-expressible
+    # (binary assembly + decode) -> rows-only driver check.
+    from learnhtml_spark.operators.multimodal import (
+        media_features,
+        synthesize_media,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    return media_features(synthesize_media(docs), deterministic_fake=False)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -465,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_probe": q_ivf_probe,
         "embedding_neardup": q_embedding_neardup,
+        "doc_chunks": q_doc_chunks,
+        "top_terms": q_top_terms,
+        "decontaminate": q_decontaminate,
+        "media_features": q_media_features,
         "events_hourly": q_events_hourly,
         "doc_split": q_doc_split,
         "join_stats": q_join_stats,
@@ -865,6 +907,61 @@ ranked as (
 select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
 """
 
+_DOC_CHUNKS_SQL = r"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(trim(text), '\s+') end as t
+  from documents
+),
+starts as (
+  select doc_id, t, unnest(range(0, len(t), 40)) as start
+  from toks where len(t) > 0
+)
+select doc_id, cast(start // 40 as int) as chunk_id,
+       cast(least(50, len(t) - start) as int) as n_tokens,
+       array_to_string(t[start + 1 : start + 50], ' ') as chunk_text
+from starts
+"""
+
+_TOP_TERMS_SQL = r"""
+with toks as (
+  select case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+tok as (select unnest(t) as token from toks)
+select token, count(*) as n from tok where token <> ''
+group by token order by n desc, token asc limit 50
+"""
+
+_DECONTAMINATE_SQL = r"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+sh5 as (
+  select doc_id, unnest(list_distinct(list_filter(
+    case when len(t) < 5 then [array_to_string(t, ' ')]
+         else list_transform(range(1, len(t) - 3),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) end,
+    s -> trim(s) <> ''))) as shingle
+  from toks
+),
+ev as (select doc_id from documents order by doc_id limit 20),
+eg as (select distinct shingle from sh5 join ev using (doc_id)),
+hits as (
+  select s.doc_id, count(*) as n_hits
+  from sh5 s join eg using (shingle)
+  where s.doc_id not in (select doc_id from ev)
+  group by s.doc_id
+)
+select d.doc_id, coalesce(h.n_hits, 0) as n_hits,
+       coalesce(h.n_hits, 0) > 0 as contaminated
+from documents d left join hits h on d.doc_id = h.doc_id
+where d.doc_id not in (select doc_id from ev)
+"""
+
 _EVENTS_SQL = r"""
 select event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
@@ -998,6 +1095,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_TOPK_SQL,
         "ivf_probe": _IVF_PROBE_SQL,
         "embedding_neardup": _NEARDUP_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "top_terms": _TOP_TERMS_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        # media_features: binary synthesis + decode is not SQL-expressible;
+        # rows-only driver check (encoders/decoders are inverse-tested in
+        # tests/test_tables_streaming.py)
         "events_hourly": _EVENTS_SQL,
         "doc_split": _SPLIT_SQL,
         "join_stats": _JOIN_SQL,

@@ -1,0 +1,108 @@
+"""Document chunking and benchmark decontamination — training-data
+pipeline operators (SURVEY.md §2 beyond-reference family, alongside
+dedup/similarity/textstats): every LLM data pipeline slices long
+documents into token-bounded overlapping chunks and strips documents
+that leak evaluation-benchmark n-grams.
+
+Scale notes (100 TB):
+- ``chunk_documents`` is fully NARROW: tokenize once per row, explode
+  the chunk-start positions, slice per chunk — zero shuffles; output
+  rows ≈ tokens/stride per doc, each chunk carrying its 0-based
+  ``chunk_id`` so downstream grouping can restore document order.
+- ``decontaminate`` treats the benchmark set as the SMALL side by
+  construction (benchmarks are thousands of documents, the corpus is
+  10^12): its distinct k-gram set is broadcast, so the corpus-side scan
+  stays a single pass + broadcast semi-join — no corpus-vs-corpus
+  shuffle.  Hit counting reuses the distinct-shingle machinery of the
+  dedup family (same tokenization, same blank-gram filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from learnhtml_spark.functions.dedup import shingles
+from learnhtml_spark.functions.textstats import tokens
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 50, stride: int = 40
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): overlapping token-window
+    chunks — ``window`` tokens per chunk, a new chunk every ``stride``
+    tokens (overlap = window - stride).  Chunk text is the
+    space-rejoined token slice; documents with no tokens produce no
+    chunks.  Narrow plan: one tokenize, one posexplode over the start
+    positions, one slice per chunk."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+    chunked = base.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    piece = F.slice(F.col("t"), F.col("start") + 1, F.lit(window))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(F.lit(window), F.size("t") - F.col("start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(token, n): the ``k`` most frequent lowercased whitespace tokens
+    corpus-wide, ties broken lexicographically — the classic vocabulary /
+    stop-list builder.  One map-side-combined hash aggregate, then a
+    top-k (no full sort materialization: Spark's TakeOrderedAndProject)."""
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_n: int = 20, k: int = 5
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every NON-benchmark document:
+    ``n_hits`` = how many of the doc's distinct k-gram shingles appear in
+    the benchmark set's k-gram set.  The benchmark here is the ``eval_n``
+    smallest doc_ids (deterministic stand-in for a real eval suite); in
+    production it is the actual benchmark corpus and remains the
+    broadcast-small side.
+
+    Plan: benchmark gram set built once and broadcast; corpus shingles
+    stream through a broadcast semi-join + per-doc count; documents with
+    zero hits are restored by a left join (they are the common case and
+    must appear in the output — silence is not cleanliness)."""
+    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    sh = shingles(docs, k)
+    eval_grams = (
+        sh.join(F.broadcast(eval_ids), "doc_id").select("shingle").distinct()
+    )
+    corpus_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    hits = (
+        corpus_sh.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    rest = docs.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    return (
+        rest.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

@@ -272,3 +272,82 @@ def media_features(
             )
 
     return media_df.mapInPandas(run, schema=MEDIA_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy ENCODERS (inverse of the decoders) + deterministic payload
+# synthesis — lets the decode path run end-to-end on real bytes at any sf
+# without codec libraries (the driver query `media_features` uses this)
+# ---------------------------------------------------------------------------
+
+def encode_bmp24(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP
+    (round-trips through ``decode_bmp`` exactly)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    pad = (4 - (w * 3) % 4) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\0" * pad  # RGB -> BGR rows, bottom-up
+        for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def encode_wav16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1], shape (n,) or (n, ch) -> 16-bit PCM WAV
+    (round-trips through ``decode_wav`` up to int16 quantization)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    data = np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def synth_payload_for(doc_id: str, kind: str) -> bytes:
+    """Deterministic media payload seeded from md5(doc_id) — an 8×8 RGB
+    BMP gradient or a 400-sample mono sine WAV.  Byte-stable stand-in for
+    the object-store range-read a production media_ref resolves to."""
+    h = hashlib.md5(f"{doc_id}:{kind}".encode()).digest()
+    if kind == "image":
+        base = np.frombuffer((h * 12)[: 8 * 8 * 3], dtype=np.uint8)
+        return encode_bmp24(base.reshape(8, 8, 3))
+    freq = 2.0 + (h[0] % 16)
+    t = np.arange(400, dtype=np.float64)
+    return encode_wav16(0.5 * np.sin(2 * np.pi * freq * t / 400.0), rate=8000)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, payload): two deterministic payload rows per
+    document (one BMP image, one PCM-WAV audio) — NARROW generation, no
+    shuffle; feeds ``media_features`` with real decodable bytes."""
+    schema = "doc_id string, media_ref string, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = str(doc_id)
+                rows.append(
+                    (d, f"media://img/{d}.bmp", synth_payload_for(d, "image"))
+                )
+                rows.append(
+                    (d, f"media://aud/{d}.wav", synth_payload_for(d, "audio"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "payload"]
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
