@@ -403,14 +403,23 @@ def main():
     )
     with open(full_path, "w") as f:
         json.dump(result, f, indent=1)
+    print(compact_line(result, full_path), flush=True)
+
+
+def compact_line(result: dict, full_path: str, budget: int = 1900) -> str:
+    """Headline-only JSON line guaranteed to fit a bounded stdout tail
+    capture (round-3's full record outgrew the driver's window and the
+    round recorded parsed:null).  Drops optional fields, then truncates
+    the query table (keeping the slowest entries) if a huge query count
+    would ever push past ``budget``."""
     compact = {
         "metric": result["metric"],
         "unit": "sec",
-        "sf": SF,
+        "sf": result.get("sf"),
         "value": result["value"],
         "value_certified": result["value_certified"],
         "docs_per_sec_certified": result["docs_per_sec_certified"],
-        "n_docs": n_docs,
+        "n_docs": result.get("n_docs"),
         "docs_per_sec": result["docs_per_sec"],
         "wall_sec": result["wall_sec"],
         "scaling_pair": result["scaling_pair"],
@@ -418,18 +427,30 @@ def main():
         "noise_tier": result["noise_tier"],
         "scaling_efficiency_full_machine":
             result["scaling_efficiency_full_machine"],
-        "queries": queries,
+        "queries": result["queries"],
         "noisy_queries": sorted(
-            n for n, f in query_noise.items() if f == "noisy"
+            n for n, f in result.get("query_noise", {}).items() if f == "noisy"
         ),
         "full_record": full_path,
     }
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+    if len(line) > budget:
         compact.pop("noisy_queries", None)
         compact.pop("wall_sec", None)
         line = json.dumps(compact)
-    print(line, flush=True)
+    while len(line) > budget and compact["queries"]:
+        # keep the slowest half — those carry the information
+        q = {
+            k: v for k, v in compact["queries"].items()
+            if isinstance(v, (int, float))
+        }
+        keep = sorted(q, key=lambda k: -q[k])[: max(len(q) // 2, 1)]
+        compact["queries"] = {k: q[k] for k in keep}
+        compact["queries_truncated_to_slowest"] = len(keep)
+        line = json.dumps(compact)
+        if len(keep) <= 1:
+            break
+    return line
 
 
 if __name__ == "__main__":

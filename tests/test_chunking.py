@@ -124,3 +124,37 @@ def test_media_features_on_synthesized_payloads(spark):
         ).collect()
     }
     assert out2["media://img/d1.bmp"] == img["content_digest"]
+
+
+def test_chunk_documents_fuzz_matches_python_reference(spark):
+    """Randomized whitespace/width fuzz of the chunk operator vs a plain
+    Python implementation (same pinned space-only-trim semantics as the
+    shingle fuzz test)."""
+    import random
+
+    from learnhtml_spark.functions.chunking import chunk_documents
+
+    rng = random.Random(23)
+    words = ["alpha", "b", "CC", "d-d", "1234", "x!", "longishword"]
+    rows = []
+    for i in range(50):
+        n = rng.randint(0, 30)
+        text = "".join(
+            rng.choice([" ", "  ", "\t", "\n"]) + rng.choice(words)
+            for _ in range(n)
+        )
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for window, stride in ((7, 5), (4, 4), (3, 8)):
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(df, window=window, stride=stride).collect()
+        }
+        want = {}
+        for doc_id, text in rows:
+            t = text.strip(" ")
+            toks = re.split(r"\s+", t) if len(t) else []
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                piece = toks[s : s + window]
+                want[(doc_id, ci)] = (len(piece), " ".join(piece))
+        assert got == want, (window, stride)
