@@ -42,9 +42,26 @@ def recall_at_k(exact, approx, k):
     return tot / max(len(exact), 1)
 
 
+def clustered_embeddings(spark, n=2000, dims=64, n_clusters=20, seed=7):
+    """Deterministic CLUSTERED corpus (the geometry real text embeddings
+    have): ``n_clusters`` random unit centers, points = center + small
+    noise.  Companion to the near-random testdata embeddings — together
+    they bracket ANN recall between its worst case and its typical case."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    pts = centers[assign] + 0.15 * rng.normal(size=(n, dims))
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    clustered = "--clustered" in sys.argv
 
     import numpy as np
     from pyspark.sql import SparkSession
@@ -65,7 +82,11 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if clustered:
+        emb = clustered_embeddings(spark)
+        sf_dir = "<clustered synthetic>"
+    else:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n_vec = emb.count()
 
     t0 = time.time()
