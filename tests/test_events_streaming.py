@@ -159,7 +159,7 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         return {
             r["doc_id"]: (r["keep_doc_id"], r["is_duplicate"])
             for r in spark.read.parquet(outdir).collect()
