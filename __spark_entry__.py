@@ -389,6 +389,16 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir), eval_n=20, k=5)
 
 
+def q_stratified_sample(spark, sf_dir):
+    # exact per-stratum deterministic sampling: floor(n/5) docs per
+    # source in multiplicative-hash order, integer-only bound (a float
+    # ceil(fraction*n) diverges between engines at representation
+    # boundaries), rank via the skew-safe two-phase distributed rank
+    from learnhtml_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), num=1, den=5)
+
+
 def q_media_features(spark, sf_dir):
     # multimodal decode path on REAL bytes end-to-end: deterministic
     # BMP/PCM-WAV payloads synthesized per doc (encoders are exact
@@ -506,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "top_terms": q_top_terms,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "media_features": q_media_features,
         "events_hourly": q_events_hourly,
         "doc_split": q_doc_split,
@@ -962,6 +973,20 @@ from documents d left join hits h on d.doc_id = h.doc_id
 where d.doc_id not in (select doc_id from ev)
 """
 
+_STRATIFIED_SAMPLE_SQL = r"""
+with h as (
+  select doc_id, source, (doc_id * 2654435761) % 2147483647 as hv
+  from documents
+),
+r as (
+  select doc_id, source,
+         row_number() over (partition by source order by hv, doc_id) as rk,
+         count(*) over (partition by source) as n
+  from h
+)
+select doc_id, source from r where rk * 5 <= n * 1
+"""
+
 _EVENTS_SQL = r"""
 select event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
@@ -1098,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         # media_features: binary synthesis + decode is not SQL-expressible;
         # rows-only driver check (encoders/decoders are inverse-tested in
         # tests/test_tables_streaming.py)

@@ -1,0 +1,58 @@
+"""Deterministic stratified sampling — training pipelines carve
+per-source (per-language, per-domain) subsets with EXACT proportions;
+a plain hash filter only approximates the rate within each stratum.
+
+``stratified_sample`` keeps, in every stratum, the first
+``floor(n * num / den)`` rows of a deterministic pseudo-random order
+(multiplicative hash of doc_id, doc_id tie-break).  Exactness rules:
+- the sampling bound is pure INTEGER arithmetic (``rank * den <=
+  n * num``) — a float ``ceil(fraction * n)`` differs between engines at
+  representation boundaries (0.2 * 15 is 3.0000000000000004 in float64
+  but 3.0 in decimal);
+- the rank comes from the skew-safe two-phase distributed rank
+  (``windows.sibling_positions``) — never a whole-stratum window — over
+  a zero-padded ``hash|doc_id`` string key whose lexicographic order
+  equals the numeric (hash, doc_id) order.
+
+Scale: two narrow passes + the rank's two small exchanges + a broadcast
+of per-stratum counts; no stratum is ever sorted in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from learnhtml_spark.functions.windows import sibling_positions
+
+#: Knuth multiplicative hash over the Mersenne prime — portable to any
+#: SQL engine as (doc_id * A) % P (same family as doc_split)
+_A = 2654435761
+_P = 2147483647
+
+
+def stratified_sample(
+    docs: DataFrame, num: int = 1, den: int = 5, strata: str = "source"
+) -> DataFrame:
+    """(doc_id, <strata>): exactly ``floor(n_stratum * num / den)`` rows
+    per stratum, deterministically pseudo-randomly chosen (hash order),
+    stable across runs, partitionings and engines."""
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    hv = (F.col("doc_id") * F.lit(_A)) % F.lit(_P)
+    key = F.format_string("%010d|%019d", hv, F.col("doc_id"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), strata).withColumn(
+        "_ord", key
+    )
+    ranked = sibling_positions(base, group=strata, order="_ord", out="_rank")
+    counts = base.groupBy(strata).agg(F.count("*").alias("_n"))
+    kept = (
+        ranked.join(F.broadcast(counts), strata)
+        # 0-based rank: keep ranks 0 .. floor(n*num/den)-1
+        .filter((F.col("_rank") + 1) * den <= F.col("_n") * num)
+        .select(
+            F.split(F.col("_ord"), r"\|").getItem(1).cast("long").alias("doc_id"),
+            strata,
+        )
+    )
+    return kept

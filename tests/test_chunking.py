@@ -158,3 +158,59 @@ def test_chunk_documents_fuzz_matches_python_reference(spark):
                 piece = toks[s : s + window]
                 want[(doc_id, ci)] = (len(piece), " ".join(piece))
         assert got == want, (window, stride)
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from learnhtml_spark.functions.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [
+        (1000 + i, "big") for i in range(400)  # skewed stratum
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string").withColumn(
+        "text", __import__("pyspark").sql.functions.lit("x")
+    )
+    out1 = {(r["doc_id"], r["source"]) for r in stratified_sample(df, 1, 5).collect()}
+    out2 = {(r["doc_id"], r["source"]) for r in stratified_sample(df, 1, 5).collect()}
+    assert out1 == out2  # deterministic
+    per = {}
+    for _, s in out1:
+        per[s] = per.get(s, 0) + 1
+    # exact floor(n/5) per stratum: 34,33,33 docs in s0..s2 -> 6,6,6; big 400 -> 80
+    assert per == {"s0": 6, "s1": 6, "s2": 6, "big": 80}
+    # matches the naive window reference
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hv = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
+    w = Window.partitionBy("source").orderBy(hv, "doc_id")
+    naive = df.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    ).filter(F.col("rk") * 5 <= F.col("n"))
+    want = {(r["doc_id"], r["source"]) for r in naive.collect()}
+    assert out1 == want
+
+
+def test_stratified_sample_no_whole_stratum_window(spark):
+    from learnhtml_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(60)], "doc_id long, source string"
+    )
+    plan = (
+        stratified_sample(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_chunk" in line.split("windowspecdefinition")[-1]
+
+
+def test_queries_and_oracles_stay_consistent():
+    """Every oracle key must be a registered query; rows-only queries
+    (no oracle) must be the documented set — guards key drift between
+    the two dicts as operators accumulate."""
+    import __spark_entry__ as E
+
+    q = set(E.queries())
+    o = set(E.oracle_sql())
+    assert o <= q, o - q
+    assert q - o == {"media_features"}, q - o
