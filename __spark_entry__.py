@@ -478,6 +478,15 @@ def q_sibling_pos(spark, sf_dir):
     return sibling_positions(_docs(spark, sf_dir), group="source", order="doc_id")
 
 
+def q_group_topk(spark, sf_dir):
+    # per-group top-k ("best 5 docs per source") without a whole-group
+    # window: (metric DESC, id) encoded into one padded string key, then
+    # the same skew-safe two-phase rank sibling_pos uses
+    from learnhtml_spark.functions.windows import group_topk
+
+    return group_topk(_docs(spark, sf_dir), group="source", metric="n_chars", k=5)
+
+
 def q_topk_docs(spark, sf_dir):
     # order-by + limit with deterministic tie-break (reference O4 contract:
     # order is part of correctness)
@@ -523,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_stats": q_join_stats,
         "source_rollup": q_source_rollup,
         "sibling_pos": q_sibling_pos,
+        "group_topk": q_group_topk,
         "topk_docs": q_topk_docs,
     }
 
@@ -1030,6 +1040,15 @@ select doc_id, source,
 from documents
 """
 
+_GROUP_TOPK_SQL = r"""
+with r as (
+  select doc_id, source, n_chars,
+         row_number() over (partition by source order by n_chars desc, doc_id asc) as rank
+  from documents
+)
+select doc_id, source, n_chars, cast(rank as int) as rank from r where rank <= 5
+"""
+
 _TOPK_SQL = r"""
 select doc_id, n_chars from documents order by n_chars desc, doc_id asc limit 10
 """
@@ -1132,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "join_stats": _JOIN_SQL,
         "source_rollup": _ROLLUP_SQL,
         "sibling_pos": _SIBLING_SQL,
+        "group_topk": _GROUP_TOPK_SQL,
         "topk_docs": _TOPK_SQL,
         # extract_spans / node_features / label_ratios are the DOM pipeline:
         # not SQL-expressible; golden-tested against the reference's own

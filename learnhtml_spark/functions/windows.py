@@ -58,6 +58,43 @@ def _chunk_boundaries(docs, group, order, n_chunks, seed=42, per_chunk=64):
     return bounds
 
 
+def group_topk(
+    docs: DataFrame,
+    group: str = "source",
+    metric: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id_col, group, metric, rank): the ``k`` rows with the largest
+    ``metric`` per group (ties to the smallest id) — the "best k
+    documents per source" pattern — WITHOUT a whole-group window.
+
+    The (metric DESC, id ASC) order is encoded into one zero-padded
+    string key (descending via complement against 10^18), so the
+    skew-safe two-phase rank of ``sibling_positions`` applies unchanged:
+    no task ever sorts a whole group, regardless of group skew."""
+    big = 1_000_000_000_000_000_000
+    key = F.format_string(
+        "%019d|%019d", F.lit(big) - F.col(metric), F.col(id_col)
+    )
+    base = docs.select(id_col, group, metric).withColumn("_ord", key)
+    ranked = sibling_positions(
+        base, group=group, order="_ord", out="_rank",
+        num_partitions=num_partitions,
+    )
+    parts = F.split(F.col("_ord"), r"\|")
+    return (
+        ranked.filter(F.col("_rank") < k)
+        .select(
+            parts.getItem(1).cast("long").alias(id_col),
+            group,
+            (F.lit(big) - parts.getItem(0).cast("long")).alias(metric),
+            (F.col("_rank") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
 def sibling_positions(
     docs: DataFrame,
     group: str = "source",

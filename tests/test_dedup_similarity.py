@@ -335,3 +335,34 @@ def test_band_signatures_narrow_equals_batch_path(docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_group_topk_matches_naive_window(spark):
+    """Per-group top-k via the padded-key two-phase rank must equal the
+    naive whole-group window, ties to smallest id, and never window over
+    the bare group column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.windows import group_topk
+
+    rows = []
+    for i in range(500):
+        rows.append((i, f"s{i % 4}", (i * 37) % 90))  # many metric ties
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        (r["doc_id"], r["source"]): (r["n_chars"], r["rank"])
+        for r in group_topk(df, k=7).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    want = {
+        (r["doc_id"], r["source"]): (r["n_chars"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+        .collect()
+    }
+    assert got == want
+    plan = group_topk(df, k=7)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_chunk" in line.split("windowspecdefinition")[-1]
