@@ -469,6 +469,24 @@ def q_source_rollup(spark, sf_dir):
     )
 
 
+def q_source_quantiles(spark, sf_dir):
+    # per-source doc-length distribution: EXACT percentiles (JVM
+    # `percentile` aggregate; interpolation verified bit-equal to
+    # DuckDB's quantile_cont at 4dp).  Scale note: exact percentile
+    # buffers each group's values — at 10^12 rows the same query ships
+    # with approx_percentile (t-digest, fixed memory); the exact form is
+    # the oracle-able small-data analog.
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_sibling_pos(spark, sf_dir):
     # true row-order window (reference W2 analog), computed with the
     # skew-safe two-phase rank (a plain window over `source` would put a
@@ -531,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "join_stats": q_join_stats,
         "source_rollup": q_source_rollup,
+        "source_quantiles": q_source_quantiles,
         "sibling_pos": q_sibling_pos,
         "group_topk": q_group_topk,
         "topk_docs": q_topk_docs,
@@ -1034,6 +1053,15 @@ from documents d join dim d2 on d.source = d2.source
 group by 1, 2
 """
 
+_SOURCE_QUANTILES_SQL = r"""
+select source, count(*) as n_docs, min(n_chars) as min_chars,
+       round(quantile_cont(n_chars, 0.25), 4) as p25,
+       round(quantile_cont(n_chars, 0.5), 4) as p50,
+       round(quantile_cont(n_chars, 0.9), 4) as p90,
+       max(n_chars) as max_chars
+from documents group by source
+"""
+
 _SIBLING_SQL = r"""
 select doc_id, source,
        cast(row_number() over (partition by source order by doc_id) - 1 as int) as sibling_pos
@@ -1150,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _SPLIT_SQL,
         "join_stats": _JOIN_SQL,
         "source_rollup": _ROLLUP_SQL,
+        "source_quantiles": _SOURCE_QUANTILES_SQL,
         "sibling_pos": _SIBLING_SQL,
         "group_topk": _GROUP_TOPK_SQL,
         "topk_docs": _TOPK_SQL,
