@@ -214,3 +214,34 @@ def test_queries_and_oracles_stay_consistent():
     o = set(E.oracle_sql())
     assert o <= q, o - q
     assert q - o == {"media_features"}, q - o
+
+
+def test_chunk_documents_edge_params(spark):
+    import pytest as _pytest
+
+    from learnhtml_spark.functions.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=0, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=5, stride=0)
+    # window much larger than any doc: one chunk per doc, full text
+    got = chunk_documents(df, window=1000, stride=1000).collect()
+    assert len(got) == 1 and got[0]["chunk_text"] == "a b c"
+
+
+def test_stratified_sample_full_fraction_keeps_everything(spark):
+    import pytest as _pytest
+
+    from learnhtml_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(40)], "doc_id long, source string"
+    )
+    out = {(r["doc_id"], r["source"]) for r in stratified_sample(df, 1, 1).collect()}
+    assert out == {(i, f"s{i % 3}") for i in range(40)}
+    with _pytest.raises(ValueError):
+        stratified_sample(df, 2, 1)
+    with _pytest.raises(ValueError):
+        stratified_sample(df, 0, 5)
