@@ -167,6 +167,19 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dup_stats(spark, sf_dir):
+    # dedup reporting: histogram of duplicate-group sizes (how much of the
+    # corpus is 1x/2x/Nx duplicated) — two map-side-combined aggregates
+    # over the exact_dedup groups
+    from learnhtml_spark.functions.dedup import exact_dedup
+
+    groups = exact_dedup(_docs(spark, sf_dir))
+    return groups.groupBy("dup_count").agg(
+        F.count("*").alias("n_groups"),
+        (F.count("*") * F.col("dup_count")).alias("n_docs"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from learnhtml_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -527,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "dup_stats": q_dup_stats,
         "dedup_stream": q_dedup_stream,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1145,6 +1159,12 @@ def oracle_sql() -> dict[str, str]:
             "select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "
             "min(doc_id) as keep_doc_id, count(*) as dup_count "
             "from documents group by 1"
+        ),
+        "dup_stats": (
+            "with g as (select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "
+            "count(*) as dup_count from documents group by 1) "
+            "select dup_count, count(*) as n_groups, "
+            "count(*) * dup_count as n_docs from g group by dup_count"
         ),
         "dedup_stream": (
             "with fps as (select doc_id, "
