@@ -443,6 +443,40 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    per-user lag + cumulative break-count window, then one aggregate per
+    session.  The window keys on user_id — HIGH-cardinality at scale
+    (this is the standard and correct plan shape for sessionization, the
+    opposite of the low-cardinality `source` windows that need the
+    two-phase rank); gaps compare integer MICROseconds (`unix_micros` ==
+    DuckDB `epoch_us`) so engine float handling never flips a boundary."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; with the session pinned to UTC the cast
+    # to TIMESTAMP is identity, and unix_micros gives exact integer µs
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def q_doc_split(spark, sf_dir):
     # grouped deterministic split (reference O2) with a portable hash
     d = _docs(spark, sf_dir)
@@ -560,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "media_features": q_media_features,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         "doc_split": q_doc_split,
         "join_stats": q_join_stats,
         "source_rollup": q_source_rollup,
@@ -1039,6 +1074,26 @@ from events
 group by 1, 2
 """
 
+_SESSIONIZE_SQL = r"""
+with o as (
+  select user_id, event_id, ts, value,
+         case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts, event_id)) > 1800000000
+              then 1 else 0 end as brk
+  from events
+),
+s as (
+  select user_id, ts, value,
+         sum(brk) over (partition by user_id order by ts, event_id rows unbounded preceding) as session_id
+  from o
+)
+select user_id, cast(session_id as int) as session_id, count(*) as n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') as session_end,
+       round(sum(value), 4) as total_value
+from s group by user_id, session_id
+"""
+
 _SPLIT_SQL = r"""
 select doc_id, ((doc_id * 2654435761) % 2147483647) % 100 < 80 as is_train
 from documents
@@ -1195,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only driver check (encoders/decoders are inverse-tested in
         # tests/test_tables_streaming.py)
         "events_hourly": _EVENTS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "doc_split": _SPLIT_SQL,
         "join_stats": _JOIN_SQL,
         "source_rollup": _ROLLUP_SQL,
