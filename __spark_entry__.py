@@ -370,6 +370,26 @@ def q_ivf_probe(spark, sf_dir):
     )
 
 
+def _pca_artifact():
+    import numpy as np
+
+    z = np.load(
+        os.path.join(_REPO, "learnhtml_spark", "artifacts", "pca_components.npz")
+    )
+    return z["mean"], z["components"]
+
+
+def q_pca_project(spark, sf_dir):
+    # dimensionality reduction front of the embedding pipeline: project
+    # onto offline-fitted principal components (scripts/fit_pca.py
+    # artifact; mean + components shipped as constants to both engines —
+    # the IVF-centroid pattern); narrow, zero shuffles
+    from learnhtml_spark.functions.similarity import pca_project
+
+    mean, comp = _pca_artifact()
+    return pca_project(_emb(spark, sf_dir), mean, comp)
+
+
 def q_ann_multiprobe(spark, sf_dir):
     # LSH recall lever (BENCH.md): probe the home bucket plus all buckets
     # at Hamming distance 1 — recall@3 0.16 -> 0.51 at bits=4 on sf0.1
@@ -588,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_probe": q_ivf_probe,
         "embedding_neardup": q_embedding_neardup,
+        "pca_project": q_pca_project,
         "doc_chunks": q_doc_chunks,
         "top_terms": q_top_terms,
         "decontaminate": q_decontaminate,
@@ -996,6 +1017,24 @@ ranked as (
 select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where rank <= 3
 """
 
+# PCA oracle: mean + component literals (repr-round-trip exact doubles)
+# with the same (x_d - mean_d) * comp_d sequential fold the kernel uses
+def _pca_project_sql() -> str:
+    mean, comp = _pca_artifact()
+    mean_lit = "[" + ", ".join(repr(float(x)) for x in mean) + "]"
+    cols = []
+    for j in range(comp.shape[0]):
+        comp_lit = "[" + ", ".join(repr(float(x)) for x in comp[j]) + "]"
+        cols.append(
+            f"round(list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"d -> (embedding[d]::double - ({mean_lit}::double[])[d]) * "
+            f"({comp_lit}::double[])[d])), 6) as pc{j + 1}"
+        )
+    return "select vec_id, " + ", ".join(cols) + " from embeddings"
+
+
+_PCA_PROJECT_SQL = _pca_project_sql()
+
 _DOC_CHUNKS_SQL = r"""
 with toks as (
   select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
@@ -1242,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_TOPK_SQL,
         "ivf_probe": _IVF_PROBE_SQL,
         "embedding_neardup": _NEARDUP_SQL,
+        "pca_project": _PCA_PROJECT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

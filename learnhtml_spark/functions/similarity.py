@@ -696,3 +696,45 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def pca_project(embeddings: DataFrame, mean, components) -> DataFrame:
+    """(vec_id, pc1..pck): project each embedding onto offline-fitted
+    principal components (``scripts/fit_pca.py`` artifact — mean vector +
+    component matrix shipped as constants to BOTH engines, the IVF
+    centroid pattern).  The projection folds dim-by-dim like
+    ``ivf_assign_cells`` so the float64 addition order matches DuckDB's
+    sequential ``list_sum`` — values are bit-stable across engines after
+    the 6dp round.  One narrow mapInPandas: zero shuffles; the standard
+    dimensionality-reduction front of an embedding pipeline (cheaper ANN,
+    visualization, drift monitoring)."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+    k = comp.shape[0]
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((mean, comp))
+    id_t = _id_schema(embeddings).split(" ")[1]
+
+    def run(batches):
+        m, c = bc.value
+        n_comp, dims = c.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _emb_f64(pdf["embedding"])
+            proj = np.zeros((len(q), n_comp), dtype=np.float64)
+            for d in range(dims):
+                proj += (q[:, d : d + 1] - m[d]) * c[:, d]
+            proj = _round6(proj)
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(n_comp):
+                out[f"pc{j + 1}"] = proj[:, j]
+            yield pd.DataFrame(out)
+
+    schema = f"vec_id {id_t}, " + ", ".join(
+        f"pc{j + 1} double" for j in range(k)
+    )
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)

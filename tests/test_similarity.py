@@ -367,3 +367,29 @@ def test_ivf_nprobe_equals_python_reference(emb):
         want = [(i + 1, o) for i, (_, o) in enumerate(cands)]
         have = [(r, n) for r, n, _ in sorted(got.get(vid, []))]
         assert have == want, vid
+
+
+def test_pca_project_matches_numpy_and_artifact_roundtrip(emb):
+    """pca_project must equal the straightforward centered projection of
+    the fitted components, and the fit must be deterministic."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from fit_pca import fit_pca
+
+    from learnhtml_spark.functions.similarity import _round6, pca_project
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mean1, comp1 = fit_pca(mat, 2)
+    mean2, comp2 = fit_pca(mat, 2)
+    assert mean1.tobytes() == mean2.tobytes()
+    assert comp1.tobytes() == comp2.tobytes()
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(emb, mean1, comp1).collect()
+    }
+    want = _round6((mat - mean1) @ comp1.T)
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == pytest.approx(want[i, 0], abs=2e-6)
+        assert got[vid][1] == pytest.approx(want[i, 1], abs=2e-6)
