@@ -169,15 +169,11 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_dup_stats(spark, sf_dir):
     # dedup reporting: histogram of duplicate-group sizes (how much of the
-    # corpus is 1x/2x/Nx duplicated) — two map-side-combined aggregates
-    # over the exact_dedup groups
-    from learnhtml_spark.functions.dedup import exact_dedup
+    # corpus is 1x/2x/Nx duplicated) — the named operator owns the
+    # n_docs = n_groups * dup_count arithmetic (VERDICT r4 #8)
+    from learnhtml_spark.functions.dedup import dup_stats
 
-    groups = exact_dedup(_docs(spark, sf_dir))
-    return groups.groupBy("dup_count").agg(
-        F.count("*").alias("n_groups"),
-        (F.count("*") * F.col("dup_count")).alias("n_docs"),
-    )
+    return dup_stats(_docs(spark, sf_dir))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -190,6 +186,15 @@ def q_minhash_lsh(spark, sf_dir):
     from learnhtml_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=16, band_size=4)
+
+
+def q_neardup_groups(spark, sf_dir):
+    # keeper-edge near-dup (the SCALE-DEFAULT batch form): one-hop
+    # (doc -> band-group-min) verdicts, O(m) per band group — no pair
+    # blowup, so mega duplicate clusters cost linear work (VERDICT r4 #2)
+    from learnhtml_spark.functions.dedup import neardup_groups
+
+    return neardup_groups(_docs(spark, sf_dir))
 
 
 def q_neardup_pipe(spark, sf_dir):
@@ -287,6 +292,16 @@ def q_neardup_stream(spark, sf_dir):
     )
 
     def sink(batch_df, batch_id):
+        # the oracle equivalence (first-seen state == batch band-group-min
+        # window) holds only for a single micro-batch replay: a later
+        # batch would see frozen keepers that never update to smaller
+        # doc_ids (ADVICE r4).  Assert the precondition instead of
+        # silently diverging if someone sets maxFilesPerTrigger.
+        if batch_id != 0:
+            raise RuntimeError(
+                "neardup_stream replay oracle requires a single "
+                f"AvailableNow micro-batch; got batch_id={batch_id}"
+            )
         neardup_verdicts(batch_df).write.mode("append").parquet(outdir)
 
     with _state_partitions(spark, 16):
@@ -599,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "neardup_pipe": q_neardup_pipe,
+        "neardup_groups": q_neardup_groups,
         "neardup_stream": q_neardup_stream,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -763,9 +779,17 @@ bands as (
          string_agg(cast(minhash as varchar), '|' order by minhash) as band_sig
   from hashes group by doc_id, band
 ),
+bandc as (
+  -- max_band_group pair-emission cap (mirrors dedup.minhash_lsh_candidates):
+  -- band groups larger than 1000 docs are excluded from PAIR output
+  select doc_id, band, band_sig from (
+    select doc_id, band, band_sig,
+           count(*) over (partition by band, band_sig) as m
+    from bands) where m <= 1000
+),
 cand as (
   select distinct x.doc_id as doc_a, y.doc_id as doc_b
-  from bands x join bands y on x.band = y.band and x.band_sig = y.band_sig
+  from bandc x join bandc y on x.band = y.band and x.band_sig = y.band_sig
   where x.doc_id < y.doc_id
 )
 """
@@ -818,9 +842,15 @@ select doc_id, min(grp_min) as keep_doc_id,
 from m group by doc_id
 """
 
+# batch keeper-edge form (dedup.neardup_groups): identical one-hop-keeper
+# semantics to the streaming replay oracle — O(m) per band group, the
+# scale-default output of LSH dedup (uncapped: no pair blowup to cap).
+_NEARDUP_GROUPS_SQL = _NEARDUP_STREAM_SQL
+
 _MINHASH_SQL = _sub_mh(_MINHASH_SQL)
 _NEARDUP_PIPE_SQL = _sub_mh(_NEARDUP_PIPE_SQL)
 _NEARDUP_STREAM_SQL = _sub_mh(_NEARDUP_STREAM_SQL)
+_NEARDUP_GROUPS_SQL = _sub_mh(_NEARDUP_GROUPS_SQL)
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
 # final signature cast to bigint explicitly (DuckDB sum() widens to
@@ -1272,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_pipe": _NEARDUP_PIPE_SQL,
+        "neardup_groups": _NEARDUP_GROUPS_SQL,
         "neardup_stream": _NEARDUP_STREAM_SQL,
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,

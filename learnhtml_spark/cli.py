@@ -69,13 +69,132 @@ def cmd_features(args):
     print(f"wrote {args.output}")
 
 
-def cmd_train(args):
-    import runpy
+#: reference param-file key -> engine fit-kwarg translation
+#: (cli/script.py:85-109 + data/params/example.json).  Scalars pin a value
+#: for every candidate; JSON lists become search distributions.  Keys with
+#: no engine analog (e.g. sklearn pipeline internals like
+#: union__classes__vectorize__estimator__use_idf) are warned and ignored,
+#: so the reference's own example.json runs end-to-end.
+_PARAM_ALIASES = {
+    "reduce_dim__percentile": "chi2_percentile",
+    "classify__n_estimators": "gbdt_rounds",
+    "classify__max_depth": "gbdt_depth",
+    "classify__C": "l2",  # inverse-reg strength analog
+}
+_FIT_PARAMS = {
+    "lr", "l2", "epochs", "gbdt_rounds", "gbdt_depth", "chi2_percentile",
+    "head", "seed",
+}
+_DATA_PARAMS = {"height", "depth", "blocks_only"}
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    runpy.run_path(
-        os.path.join(repo, "scripts", "train_model.py"), run_name="__main__"
+
+def parse_train_params(params: dict):
+    """Split a reference-schema param dict into (data_params, fixed_fit,
+    distributions, ignored_keys)."""
+    data = {"height": 5, "depth": 5, "blocks_only": True}
+    fixed, dists, ignored = {}, {}, []
+    for key, val in params.items():
+        k = _PARAM_ALIASES.get(key, key)
+        if k in _DATA_PARAMS:
+            data[k] = val[0] if isinstance(val, list) else val
+        elif k in _FIT_PARAMS:
+            if isinstance(val, list):
+                dists[k] = val
+            else:
+                fixed[k] = val
+        else:
+            ignored.append(key)
+    return data, fixed, dists, ignored
+
+
+def cmd_train(args):
+    """Reference `train` surface (cli/script.py:79-195): randomized search
+    over a param-file/-p search space with grouped internal folds, optional
+    nested-CV score files, and a refit-on-everything model artifact."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from learnhtml_spark import selection
+    from learnhtml_spark.model import NodeClassifier
+    from learnhtml_spark.training import training_frames
+
+    if args.legacy_full:
+        import runpy
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        runpy.run_path(
+            os.path.join(repo, "scripts", "train_model.py"),
+            run_name="__main__",
+        )
+        return
+
+    params = {}
+    if args.param_file:
+        with open(args.param_file) as fh:
+            params = json.load(fh)
+    for key, val in args.param or []:
+        params[key] = json.loads(val)  # JSON values, reference semantics
+
+    data, fixed, dists, ignored = parse_train_params(params)
+    for key in ignored:
+        print(f"warning: no engine analog for param {key!r} — ignored",
+              file=sys.stderr)
+    if not dists:
+        dists = {
+            k: v
+            for k, v in selection.DEFAULT_PARAM_DISTRIBUTIONS.items()
+            if k not in fixed
+        }
+    # fixed fit params ride along as single-value distributions so every
+    # candidate carries them
+    dists = {**dists, **{k: [v] for k, v in fixed.items()}}
+
+    frames, labels = training_frames(
+        n_synth=args.n_synth,
+        depth=int(data["depth"]),
+        height=int(data["height"]),
+        blocks_only=bool(data["blocks_only"]),
     )
+    int_n, int_total = args.internal_folds
+    ext_n, ext_total = args.external_folds
+
+    spark = _session(args.cores) if args.spark_search else None
+    if args.score_files:
+        scores, results = selection.nested_cv(
+            frames,
+            labels,
+            dists,
+            n_iter=args.n_iter,
+            internal_n_folds=int_n,
+            internal_total_folds=int_total,
+            external_n_folds=ext_n,
+            external_total_folds=ext_total,
+            seed=args.random_seed,
+            spark=spark,
+        )
+        pd.DataFrame({"run_nb": range(len(scores)), "f1": scores}).to_csv(
+            args.score_files.format(suffix="scores"), index=False
+        )
+        results.to_csv(args.score_files.format(suffix="cv"), index=False)
+        print(f"nested-cv f1 per external fold: {np.round(scores, 4).tolist()}")
+
+    best, results = selection.search_params(
+        frames,
+        labels,
+        dists,
+        n_iter=args.n_iter,
+        n_folds=int_n,
+        total_folds=int_total,
+        seed=args.random_seed,
+        spark=spark,
+    )
+    print(f"best params: {best}")
+    if args.model_file:
+        clf = NodeClassifier.fit(frames, labels, **best)
+        clf.save(args.model_file)
+        print(f"wrote {args.model_file}")
 
 
 def cmd_label(args):
@@ -190,7 +309,39 @@ def main(argv=None):
     p.add_argument("--cores", default="*")
     p.set_defaults(fn=cmd_features)
 
-    p = sub.add_parser("train", help="retrain the packaged model")
+    p = sub.add_parser(
+        "train",
+        help="param-search training (reference `train`: -j/--param-file, "
+        "-p, --n-iter, --external-folds, --internal-folds)",
+    )
+    p.add_argument("-j", "--param-file", default=None,
+                   help="JSON search-space file (reference data/params schema: "
+                        "scalars pin values, lists are search distributions)")
+    p.add_argument("-p", "--param", nargs=2, action="append",
+                   metavar=("KEY", "VALUE"),
+                   help="single param as 'key json-value'; repeatable, "
+                        "overrides the file")
+    p.add_argument("--n-iter", type=int, default=10,
+                   help="random-search candidates (default 10)")
+    p.add_argument("--external-folds", nargs=2, type=int, default=(4, 4),
+                   metavar=("N_FOLDS", "TOTAL_FOLDS"),
+                   help="external loop: evaluate N of TOTAL grouped folds")
+    p.add_argument("--internal-folds", nargs=2, type=int, default=(3, 3),
+                   metavar=("N_FOLDS", "TOTAL_FOLDS"),
+                   help="internal search loop folds")
+    p.add_argument("--score-files", default=None,
+                   help="output pattern with {suffix} -> 'scores'/'cv' CSVs "
+                        "(runs nested CV, reference --score-files)")
+    p.add_argument("--model-file", default=None,
+                   help="refit best params on everything and save here")
+    p.add_argument("--random-seed", type=int, default=42)
+    p.add_argument("--n-synth", type=int, default=24,
+                   help="synthetic training docs to add to the 4 fixtures")
+    p.add_argument("--spark-search", action="store_true",
+                   help="fan the (candidate x fold) grid out over Spark")
+    p.add_argument("--cores", default="*")
+    p.add_argument("--legacy-full", action="store_true",
+                   help="run the round-4 full training script instead")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser(

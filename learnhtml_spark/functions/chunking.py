@@ -84,13 +84,16 @@ def decontaminate(
     Plan: benchmark gram set built once and broadcast; corpus shingles
     stream through a broadcast semi-join + per-doc count; documents with
     zero hits are restored by a left join (they are the common case and
-    must appear in the output — silence is not cleanliness)."""
+    must appear in the output — silence is not cleanliness).
+
+    The eval-gram branch semi-joins docs down to the ``eval_n`` benchmark
+    rows BEFORE shingling (ADVICE r4: joining after ``shingles`` shingled
+    the full corpus twice — Spark cannot push an equi-join below the
+    explode, so the filter must sit on the base table)."""
     eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
-    sh = shingles(docs, k)
-    eval_grams = (
-        sh.join(F.broadcast(eval_ids), "doc_id").select("shingle").distinct()
-    )
-    corpus_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    eval_docs = docs.join(F.broadcast(eval_ids), "doc_id")
+    eval_grams = shingles(eval_docs, k).select("shingle").distinct()
+    corpus_sh = shingles(docs, k).join(F.broadcast(eval_ids), "doc_id", "left_anti")
     hits = (
         corpus_sh.join(F.broadcast(eval_grams), "shingle")
         .groupBy("doc_id")

@@ -39,8 +39,29 @@ def stratified_sample(
     stable across runs, partitionings and engines."""
     if not (0 < num <= den):
         raise ValueError("need 0 < num <= den")
-    hv = (F.col("doc_id") * F.lit(_A)) % F.lit(_P)
-    key = F.format_string("%010d|%019d", hv, F.col("doc_id"))
+    # The padded-string key invariant (lexicographic == numeric order)
+    # needs 0 <= doc_id and doc_id*A within int64: Spark silently wraps
+    # the product on overflow (doc_id > ~3.47e9) yielding a NEGATIVE hv
+    # whose '%010d' rendering sorts before all digits, silently diverging
+    # from the documented hash order (ADVICE r4).  Out-of-range ids fail
+    # the job with a clear error instead; the guard is a plan-level
+    # expression, free on valid data.
+    max_id = (2**63 - 1) // _A
+    did = F.col("doc_id").cast("long")
+    safe_id = F.when(
+        did.isNull() | (did < 0) | (did > max_id),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "stratified_sample: doc_id must be a non-null integer "
+                    f"in [0, {max_id}] (hash-key invariant); got "
+                ),
+                F.coalesce(did.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(did)
+    hv = F.pmod(safe_id * F.lit(_A), F.lit(_P))
+    key = F.format_string("%010d|%019d", hv, safe_id)
     base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), strata).withColumn(
         "_ord", key
     )

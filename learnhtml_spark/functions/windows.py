@@ -73,11 +73,39 @@ def group_topk(
     The (metric DESC, id ASC) order is encoded into one zero-padded
     string key (descending via complement against 10^18), so the
     skew-safe two-phase rank of ``sibling_positions`` applies unchanged:
-    no task ever sorts a whole group, regardless of group skew."""
+    no task ever sorts a whole group, regardless of group skew.
+
+    The padded-string encoding requires 0 <= metric < 10^18 and
+    id >= 0: a negative value would format with a '-' that sorts before
+    every digit and silently corrupt the (metric DESC, id) order
+    (ADVICE r4).  Out-of-range rows fail the job with a clear
+    ``raise_error`` instead — the guard is a plan-level expression, zero
+    cost on valid data.  The metric is returned in its input dtype."""
     big = 1_000_000_000_000_000_000
-    key = F.format_string(
-        "%019d|%019d", F.lit(big) - F.col(metric), F.col(id_col)
-    )
+    metric_type = docs.schema[metric].dataType.simpleString()
+    mcol = F.col(metric).cast("long")
+    guarded = F.when(
+        (mcol < 0) | (mcol >= big) | F.col(metric).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"group_topk: metric '{metric}' must be a non-null "
+                    "integer in [0, 10^18) for the padded-key encoding; got "
+                ),
+                F.coalesce(F.col(metric).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(mcol)
+    id_guard = F.when(
+        (F.col(id_col).cast("long") < 0) | F.col(id_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"group_topk: id '{id_col}' must be non-null and >= 0; got "),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col).cast("long"))
+    key = F.format_string("%019d|%019d", F.lit(big) - guarded, id_guard)
     base = docs.select(id_col, group, metric).withColumn("_ord", key)
     ranked = sibling_positions(
         base, group=group, order="_ord", out="_rank",
@@ -89,7 +117,9 @@ def group_topk(
         .select(
             parts.getItem(1).cast("long").alias(id_col),
             group,
-            (F.lit(big) - parts.getItem(0).cast("long")).alias(metric),
+            (F.lit(big) - parts.getItem(0).cast("long"))
+            .cast(metric_type)
+            .alias(metric),
             (F.col("_rank") + 1).cast("int").alias("rank"),
         )
     )

@@ -52,6 +52,11 @@ MEDIA_FEATURES = StructType(
         StructField("decoder", StringType()),
         StructField("content_digest", StringType()),
         StructField("thumbnail", BinaryType()),
+        # poison-isolation contract (same as extract's span error rows):
+        # NULL for healthy rows; decoder='error', dims -1 and this message
+        # set when the payload failed to decode — corrupt bytes yield an
+        # auditable row, never a task failure
+        StructField("error", StringType()),
     ]
 )
 
@@ -248,12 +253,18 @@ def media_features(
                 payload = pdf["payload"].iloc[i] if has_payload else None
                 if payload is not None and not isinstance(payload, bytes):
                     payload = bytes(payload)
-                w, h, nf, dec, thumb = decode_media(
-                    ref, payload, deterministic_fake=deterministic_fake
-                )
                 digest = hashlib.md5(
                     payload if payload is not None else (ref or "").encode()
                 ).hexdigest()
+                try:
+                    w, h, nf, dec, thumb = decode_media(
+                        ref, payload, deterministic_fake=deterministic_fake
+                    )
+                    err = None
+                except Exception as exc:  # poison payloads must never kill the job
+                    w = h = nf = -1
+                    dec, thumb = "error", None
+                    err = f"{type(exc).__name__}: {exc}"[:500]
                 rows.append(
                     (
                         ref,
@@ -265,6 +276,7 @@ def media_features(
                         dec,
                         digest,
                         thumb,
+                        err,
                     )
                 )
             yield pd.DataFrame(

@@ -216,17 +216,27 @@ def nested_cv(
     n_iter: int = 10,
     internal_n_folds: int = 3,
     external_n_folds: int = 4,
+    internal_total_folds: int | None = None,
+    external_total_folds: int | None = None,
     seed: int = 42,
     spark=None,
 ):
     """Nested grouped CV (reference model_selection.py:361-431): the inner
     randomized search selects params on each external-train split; the
     refit model is scored on the untouched external-test docs.  Returns
-    (scores_per_external_fold, all_inner_results)."""
+    (scores_per_external_fold, all_inner_results).
+
+    ``*_total_folds`` mirror the reference CLI's "N_FOLDS TOTAL_FOLDS"
+    pairs (cli/script.py:96-104): split into TOTAL folds, evaluate only
+    the first N of them."""
     from learnhtml_spark.model import NodeClassifier
 
     doc_idx = np.arange(len(frames))
-    ext = group_kfold_splits(doc_idx, total_folds=external_n_folds)
+    ext = group_kfold_splits(
+        doc_idx,
+        total_folds=external_total_folds or external_n_folds,
+        n_folds=external_n_folds,
+    )
     scores = []
     all_results = []
     for run_nb, (tr, te) in enumerate(ext):
@@ -238,6 +248,7 @@ def nested_cv(
             param_distributions,
             n_iter=n_iter,
             n_folds=internal_n_folds,
+            total_folds=internal_total_folds,
             seed=seed + run_nb,
             spark=spark,
         )

@@ -114,18 +114,33 @@ def band_signatures_narrow(
 
 
 def streaming_neardup_bands(
-    docs: DataFrame, num_hashes: int = 16, band_size: int = 4, k: int = 3
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """(doc_id, band, grp_min) per incoming document band — ``grp_min`` is
     the first-seen-wins keeper of the (band, band_sig) state group
     (within-batch ties break to the smallest doc_id).  Feed the output of
-    one micro-batch to ``neardup_verdicts`` for per-doc verdicts."""
+    one micro-batch to ``neardup_verdicts`` for per-doc verdicts.
+
+    ``state_ttl_ms`` bounds state growth for long-running production
+    streams (ADVICE r4: NoTimeout state holds n_bands entries per
+    distinct doc forever): with a TTL, a band group not refreshed within
+    the window is evicted — a later duplicate of an evicted page is
+    simply treated as first-seen, the standard recall/state trade of
+    windowed dedup.  The replay-oracle harness leaves it None (exact
+    first-seen semantics over one AvailableNow micro-batch)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     bands = band_signatures_narrow(docs, num_hashes, band_size, k)
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         doc_ids = []
         for pdf in pdfs:
             doc_ids.extend(int(d) for d in pdf["doc_id"])
@@ -134,6 +149,10 @@ def streaming_neardup_bands(
         else:
             keeper = min(doc_ids)
             state.update((int(keeper),))
+        if state_ttl_ms is not None:
+            # refreshed on every sighting: eviction clock restarts while
+            # a group keeps appearing in the stream
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": doc_ids,
@@ -142,12 +161,17 @@ def streaming_neardup_bands(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return bands.groupBy("band", "band_sig").applyInPandasWithState(
         fn,
         outputStructType="doc_id long, band int, grp_min long",
         stateStructType="keeper long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -132,3 +132,86 @@ def train(
         frames.append(f)
         labels.append(y)
     return NodeClassifier.fit(frames, labels, **fit_kw)
+
+
+# ---------------------------------------------------------------------------
+# default training corpus (fixture pages + deterministic synthetic pages) —
+# shared by scripts/train_model.py-style full training and the CLI's
+# param-search surface (reference cli/script.py:117-195)
+# ---------------------------------------------------------------------------
+
+#: (html_path, corrected_path, encoding, cleaneval?) relative to
+#: tests/fixtures — the reference's own public evaluation pages
+FIXTURE_SPECS = [
+    ("dragnet/HTML/R578.html", "dragnet/Corrected/R578.html.corrected.txt", "utf-8", False),
+    ("dragnet/HTML/9.html", "dragnet/Corrected/9.html.corrected.txt", "utf-8", False),
+    ("cleaneval/HTML/2.html", "cleaneval/Corrected/2.html.corrected.txt", "latin-1", True),
+    ("cleaneval/HTML/1.html", "cleaneval/Corrected/1.html.corrected.txt", "latin-1", True),
+]
+
+
+def fixture_training_docs() -> list[tuple[str, list[str]]]:
+    """(html, gold_blocks) pairs from the fixture corpus (LCS-labeled)."""
+    import os
+
+    from learnhtml_spark.kernels.tokenize import get_blocks
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fix = os.path.join(repo, "tests", "fixtures")
+    out = []
+    for h, c, enc, ce in FIXTURE_SPECS:
+        html = open(os.path.join(fix, h), encoding=enc).read()
+        gold = get_blocks(
+            open(os.path.join(fix, c), encoding=enc).read(), cleaneval=ce
+        )
+        out.append((html, gold))
+    return out
+
+
+def synthetic_training_docs(
+    n: int = 24, sf_dir: str | None = None
+) -> list[tuple[str, list[str]]]:
+    """(html, content_texts) exactly-labeled pairs synthesized from the
+    first ``n`` documents of the sf0.001 documents table."""
+    import os
+
+    import duckdb
+
+    from learnhtml_spark.corpus import synthesize_page
+    from learnhtml_spark.spans import html_from_spans
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_TRAIN_SF_DIR", "/root/testdata/sf0.001"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text, lang, source from "
+        f"read_parquet('{sf_dir}/documents.parquet') order by doc_id limit {n}"
+    ).fetchall()
+    out = []
+    for doc_id, text, lang, source in rows:
+        spans, expected = synthesize_page(str(doc_id), text, source, lang)
+        html, _ = html_from_spans(spans)
+        out.append((html, expected))
+    return out
+
+
+def training_frames(
+    n_synth: int = 24,
+    depth: int = 5,
+    height: int = 5,
+    blocks_only: bool = True,
+    sf_dir: str | None = None,
+):
+    """Per-document (frames, labels) lists for the default corpus — the
+    grouped-CV unit the selection module consumes."""
+    frames, labels = [], []
+    for html, gold in fixture_training_docs():
+        f, y = build_training_pair(html, gold, depth, height, blocks_only)
+        frames.append(f)
+        labels.append(y)
+    for html, texts in synthetic_training_docs(n_synth, sf_dir):
+        f, y = build_training_pair_exact(html, texts, depth, height)
+        frames.append(f)
+        labels.append(y)
+    return frames, labels

@@ -366,3 +366,116 @@ def test_group_topk_matches_naive_window(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "_chunk" in line.split("windowspecdefinition")[-1]
+
+
+def test_dup_stats_histogram(docs):
+    """dup_stats owns the n_docs = n_groups * dup_count arithmetic
+    (VERDICT r4 #8): fixture has one 2x group (docs 1,2) and three
+    singletons."""
+    from learnhtml_spark.functions.dedup import dup_stats
+
+    out = {r["dup_count"]: (r["n_groups"], r["n_docs"]) for r in dup_stats(docs).collect()}
+    assert out == {2: (1, 2), 1: (3, 3)}
+
+
+def test_band_group_cap_and_keeper_edges(spark):
+    """VERDICT r4 #2: a mega duplicate cluster (1,000 identical pages)
+    must not blow up into O(m^2) pairs.  The capped pair path drops the
+    oversized band groups entirely; the keeper-edge path (neardup_groups)
+    returns O(m) verdicts with the smallest doc_id as keeper."""
+    from learnhtml_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        neardup_groups,
+    )
+
+    rows = [(i, "identical boilerplate page text repeated everywhere", "en", "a")
+            for i in range(10, 1010)]
+    # plus one small near-dup pair that must STILL pair up under the cap
+    rows += [
+        (1, "a unique document about distributed query planning", "en", "b"),
+        (2, "a unique document about distributed query planning", "en", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).repartition(8)
+
+    pairs = minhash_lsh_candidates(df, max_band_group=100).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the 1000-cluster is capped out of pair output; the small pair survives
+    assert ids == {(1, 2)}
+
+    verdicts = {r["doc_id"]: (r["keep_doc_id"], r["is_duplicate"])
+                for r in neardup_groups(df).collect()}
+    # O(m) output: one verdict per doc, cluster keeper = min id (10)
+    assert len(verdicts) == 1002
+    for i in range(10, 1010):
+        assert verdicts[i] == (10, i != 10)
+    assert verdicts[1] == (1, False)
+    assert verdicts[2] == (1, True)
+
+
+def test_group_topk_rejects_negative_metric(spark):
+    """ADVICE r4: a negative metric would silently corrupt the padded-key
+    order — it must fail loudly instead."""
+    import pytest
+
+    from learnhtml_spark.functions.windows import group_topk
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", -3)], "doc_id long, source string, score long"
+    )
+    with pytest.raises(Exception, match="group_topk"):
+        group_topk(df, group="source", metric="score", k=2).collect()
+
+
+def test_group_topk_zero_large_metrics_and_dtype(spark):
+    """Boundary metrics (0 and near the 10^18 encoding ceiling) rank
+    exactly like a plain window, and the metric column keeps its input
+    dtype (int stays int, not long)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.windows import group_topk
+
+    rows = [
+        (1, "a", 0),
+        (2, "a", 999_999_999_999_999_999),
+        (3, "a", 0),
+        (4, "a", 7),
+        (5, "b", 2_000_000_000),
+        (6, "b", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {
+        (r["doc_id"], r["source"]): (r["score"], r["rank"])
+        for r in group_topk(df, group="source", metric="score", k=3).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r["doc_id"], r["source"]): (r["score"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want
+
+    idf = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 3)], "doc_id long, source string, score int"
+    )
+    out = group_topk(idf, group="source", metric="score", k=1)
+    assert dict(out.dtypes)["score"] == "int"
+
+
+def test_stratified_sample_rejects_negative_doc_id(spark):
+    """ADVICE r4: negative doc_id breaks the hash-key lexicographic
+    invariant — must raise, not silently diverge from the oracle."""
+    import pytest
+
+    from learnhtml_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(-1, "x", "a"), (2, "x", "a"), (3, "x", "a"), (4, "x", "a"), (5, "x", "a")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(Exception, match="stratified_sample"):
+        stratified_sample(df, 1, 5).collect()

@@ -191,3 +191,77 @@ def test_cli_extract_with_exact_model(spark, tmp_path):
         per.setdefault(r["doc_id"], []).append(r["offset"])
     assert set(per) == {f"d{i}" for i in range(6)}
     assert all(offs == list(range(len(offs))) for offs in per.values())
+
+
+def test_cli_train_param_file_e2e(tmp_path):
+    """Reference `train` CLI surface (cli/script.py:85-109): a params JSON
+    in the reference schema (scalars pin, lists search, unknown sklearn
+    pipeline keys ignored with a warning) drives the grouped random
+    search; the refit artifact extracts end-to-end."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    params = {
+        "height": 3,
+        "depth": 3,
+        "blocks_only": True,
+        "gbdt_rounds": [20, 30],
+        "reduce_dim__percentile": [100, 90],
+        "epochs": 50,
+        "lr": 0.5,
+        "classify__criterion": ["gini", "entropy"],  # no engine analog
+    }
+    pf = tmp_path / "params.json"
+    pf.write_text(json.dumps(params))
+    model_file = tmp_path / "searched.npz"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "learnhtml_spark.cli", "train",
+         "-j", str(pf), "-p", "gbdt_depth", "3",
+         "--n-iter", "2", "--internal-folds", "2", "3",
+         "--n-synth", "6", "--model-file", str(model_file)],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best params" in r.stdout
+    assert "classify__criterion" in r.stderr  # warned, not crashed
+    assert model_file.exists()
+
+    from learnhtml_spark.exact_model import load_any_model_path
+    from learnhtml_spark.extractor import HTMLExtractor
+
+    ex = HTMLExtractor(load_any_model_path(str(model_file)), depth=3, height=3)
+    blocks = ex.extract_text_blocks(
+        "<html><body><div><p>real article content here with words</p>"
+        "</div><div><a href='x'>nav</a></body></html>"
+    )
+    assert isinstance(blocks, list)
+
+
+def test_cli_train_nested_cv_score_files(tmp_path):
+    """--score-files {suffix} writes the reference's two CSVs (scores +
+    cv results) from nested grouped CV."""
+    import os
+    import subprocess
+    import sys
+
+    pattern = str(tmp_path / "out_{suffix}.csv")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "learnhtml_spark.cli", "train",
+         "-p", "gbdt_rounds", "[20]", "-p", "epochs", "40",
+         "--n-iter", "1", "--internal-folds", "2", "2",
+         "--external-folds", "2", "3", "--n-synth", "6",
+         "--score-files", pattern],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pandas as pd
+
+    scores = pd.read_csv(str(tmp_path / "out_scores.csv"))
+    assert list(scores.columns) == ["run_nb", "f1"]
+    assert len(scores) == 2  # 2 of 3 external folds evaluated
+    cv = pd.read_csv(str(tmp_path / "out_cv.csv"))
+    assert {"candidate", "fold", "f1", "run_nb"} <= set(cv.columns)

@@ -236,3 +236,33 @@ def test_media_decode_rejects_compressed_without_fake(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media("a.jpg", b"\xff\xd8\xff\xe0" + b"0" * 100, False)
+
+
+def test_media_corrupt_payload_yields_error_row(spark):
+    """Poison-isolation contract for the media path (VERDICT r4 #7): a
+    truncated BMP header must flow to an auditable error row (decoder
+    'error', dims -1, message set) — never a task failure — while healthy
+    rows in the same batch decode normally."""
+    import numpy as np
+
+    from learnhtml_spark.operators.multimodal import (
+        encode_bmp24,
+        media_features,
+    )
+
+    good = encode_bmp24(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupt = good[:10]  # truncated mid-header
+    df = spark.createDataFrame(
+        [("media://img/good.bmp", bytearray(good)),
+         ("media://img/bad.bmp", bytearray(corrupt))],
+        "media_ref string, payload binary",
+    )
+    out = {r.media_ref: r for r in media_features(df, deterministic_fake=False).collect()}
+    bad = out["media://img/bad.bmp"]
+    assert bad.decoder == "error"
+    assert (bad.width, bad.height, bad.n_frames) == (-1, -1, -1)
+    assert bad.error and len(bad.error) <= 500
+    assert bad.content_digest  # digest of the bytes still recorded
+    ok = out["media://img/good.bmp"]
+    assert ok.error is None and ok.decoder == "bmp"
+    assert (ok.width, ok.height) == (4, 4)
