@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 DEFAULT_MODEL = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "artifacts", "model.npz"
@@ -137,10 +136,12 @@ def cmd_train(args):
     for key, val in args.param or []:
         params[key] = json.loads(val)  # JSON values, reference semantics
 
+    from learnhtml_spark.log import logger
+
     data, fixed, dists, ignored = parse_train_params(params)
     for key in ignored:
-        print(f"warning: no engine analog for param {key!r} — ignored",
-              file=sys.stderr)
+        logger.warning("no engine analog for param %r — ignored", key)
+    logger.debug("data params: %s; fixed fit params: %s", data, fixed)
     if not dists:
         dists = {
             k: v
@@ -286,6 +287,11 @@ def cmd_extract_html(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="learnhtml-spark")
+    ap.add_argument(
+        "-v", "--verbosity", default="INFO",
+        choices=["DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL"],
+        help="package log level (reference click_log verbosity option)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("extract", help="extract content spans from a docs table")
@@ -365,6 +371,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_extract_html)
 
     args = ap.parse_args(argv)
+    from learnhtml_spark.log import set_verbosity
+
+    set_verbosity(args.verbosity)
     args.fn(args)
 
 

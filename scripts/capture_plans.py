@@ -14,14 +14,15 @@ NOTES = {
     "extract_spans": "scan -> python stage, no shuffle",
     "node_features": "scan -> python stage, no shuffle",
     "label_ratios": "scan -> python stages, no shuffle",
-    "minhash_lsh": "sig agg (1 shuffle, 16 mins in one groupBy) + band self-join + distinct",
-    "neardup_pipe": "LSH candidates -> Jaccard verify over candidate pairs only",
+    "minhash_lsh": "sig agg (1 shuffle, 16 mins in one groupBy) + band-group cap window + band self-join + distinct",
+    "neardup_pipe": "LSH candidates -> Jaccard verify over candidate pairs only; size joins AQE-sided (no forced per-doc broadcast)",
+    "neardup_groups": "keeper-edge scale-default: band rows -> group-min agg -> join back on same key -> per-doc min; O(m) per band group",
     "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
     "ann_topk": "bucket inline (mapInPandas) -> ONE shuffle (groupBy bucket) -> numpy gram + top-k per bucket (applyInPandas)",
     "ivf_topk": "IVF-flat: centroid broadcast -> inline cell assignment (mapInPandas) -> ONE shuffle -> per-cell gram top-k",
     "sibling_pos": "two-phase rank: literal-boundary chunk ids (pure row fn) + (chunk,group) window + broadcast offsets",
     "embedding_neardup": "bucket inline -> ONE shuffle -> per-bucket gram + threshold filter",
-    "ngram_jaccard": "shingle self-join + size joins (broadcast) — exact verify step",
+    "ngram_jaccard": "shingle self-join + AQE-sided size joins (no forced per-doc broadcast) — exact verify step",
     "cosine_topk": "broadcast corpus matmul in one python stage (exact baseline; ann_topk is the scale path)",
     "source_rollup": "dim broadcast (BroadcastHashJoin), partial aggs map-side",
     "token_stats": "pure narrow plan",
