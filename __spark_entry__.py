@@ -197,6 +197,25 @@ def q_neardup_groups(spark, sf_dir):
     return neardup_groups(_docs(spark, sf_dir))
 
 
+def q_dup_clusters(spark, sf_dir):
+    # transitive near-dup components: iterative min-label propagation over
+    # per-band-group star edges (one shuffle join + min agg per round,
+    # localCheckpoint keeps the plan O(1) deep) — the genuinely iterative
+    # algorithm the SQL oracle replays as a recursive CTE
+    from learnhtml_spark.functions.dedup import dup_clusters
+
+    return dup_clusters(_docs(spark, sf_dir))
+
+
+def q_gopher_quality(spark, sf_dir):
+    # Gopher/MassiveText-style repetition + quality signals: narrow array
+    # exprs for length/repetition, two hash aggregates + one pk join for
+    # the top-word share
+    from learnhtml_spark.functions.textstats import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
 def q_neardup_pipe(spark, sf_dir):
     # the 100 TB dedup pipeline: LSH candidates -> exact Jaccard verify
     # over candidate pairs ONLY (ngram_jaccard is the corpus-wide oracle
@@ -615,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "neardup_pipe": q_neardup_pipe,
         "neardup_groups": q_neardup_groups,
+        "dup_clusters": q_dup_clusters,
+        "gopher_quality": q_gopher_quality,
         "neardup_stream": q_neardup_stream,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -847,10 +868,70 @@ from m group by doc_id
 # scale-default output of LSH dedup (uncapped: no pair blowup to cap).
 _NEARDUP_GROUPS_SQL = _NEARDUP_STREAM_SQL
 
+# transitive closure of band co-membership (dedup.dup_clusters): the
+# iterative Spark label propagation replayed as a recursive CTE walking
+# the same per-band-group star edges (member -> group min, undirected)
+_DUP_CLUSTERS_SQL = _MINHASH_CTES.replace("with\n", "with recursive\n", 1) + r""",
+m as (
+  select doc_id, min(doc_id) over (partition by band, band_sig) as grp_min
+  from bands
+),
+e0 as (select distinct doc_id as a, grp_min as b from m where grp_min <> doc_id),
+und as (select a, b from e0 union select b as a, a as b from e0),
+nodes as (select distinct doc_id from bands),
+walk(doc_id, node) as (
+  select doc_id, doc_id as node from nodes
+  union
+  select walk.doc_id, und.b as node from walk join und on und.a = walk.node
+)
+select doc_id, min(node) as cluster_id,
+       min(node) <> doc_id as is_duplicate
+from walk group by doc_id
+"""
+
+_GOPHER_SQL = r"""
+with toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then cast([] as varchar[])
+              else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+narrow as (
+  select doc_id, len(t) as n_words,
+    round(case when len(t) > 0
+          then list_sum(list_transform(t, x -> length(x))) / len(t)
+          else 0 end, 6) as mean_word_len,
+    round(case when len(t) >= 2
+          then 1.0 - len(list_distinct(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1]))) / (len(t) - 1)
+          else 0 end, 6) as dup_2gram_frac
+  from toks
+),
+tc as (
+  select doc_id, tok, count(*) as cnt
+  from (select doc_id, unnest(t) as tok from toks)
+  group by doc_id, tok
+),
+top as (
+  select doc_id, tok as top_word, cnt as top_cnt from (
+    select doc_id, tok, cnt,
+           row_number() over (partition by doc_id
+                              order by cnt desc, tok asc) as rn
+    from tc) where rn = 1
+)
+select n.doc_id, n.n_words, n.mean_word_len, n.dup_2gram_frac,
+       coalesce(top_word, '') as top_word,
+       round(case when n.n_words > 0
+             then coalesce(top_cnt, 0) / n.n_words else 0 end, 6)
+         as top_word_frac
+from narrow n left join top using (doc_id)
+"""
+
 _MINHASH_SQL = _sub_mh(_MINHASH_SQL)
 _NEARDUP_PIPE_SQL = _sub_mh(_NEARDUP_PIPE_SQL)
 _NEARDUP_STREAM_SQL = _sub_mh(_NEARDUP_STREAM_SQL)
 _NEARDUP_GROUPS_SQL = _sub_mh(_NEARDUP_GROUPS_SQL)
+_DUP_CLUSTERS_SQL = _sub_mh(_DUP_CLUSTERS_SQL)
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
 # final signature cast to bigint explicitly (DuckDB sum() widens to
@@ -1303,6 +1384,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _MINHASH_SQL,
         "neardup_pipe": _NEARDUP_PIPE_SQL,
         "neardup_groups": _NEARDUP_GROUPS_SQL,
+        "dup_clusters": _DUP_CLUSTERS_SQL,
+        "gopher_quality": _GOPHER_SQL,
         "neardup_stream": _NEARDUP_STREAM_SQL,
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,

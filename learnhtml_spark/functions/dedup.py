@@ -297,6 +297,87 @@ def neardup_groups(
     )
 
 
+def dup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected-component dedup clusters over the LSH keeper-edge graph:
+    (doc_id, cluster_id, is_duplicate) where ``cluster_id`` is the
+    smallest doc_id in the doc's TRANSITIVE near-dup component — the
+    batch closure ``neardup_groups`` deliberately does not compute (A~B
+    via band 1 and B~C via band 2 puts A,B,C in one cluster here).
+
+    Algorithm: iterative min-label propagation over the undirected
+    (doc, band-group-min) edges — each round one shuffle join + one
+    map-side-combined min aggregate, ``localCheckpoint`` per round so the
+    plan stays O(1) deep, terminating when no label changes (bounded by
+    component diameter, which for keeper-star graphs is small).  At true
+    web scale the alternating large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce") drops rounds to
+    O(log diameter); plain propagation keeps the oracle-replayable
+    single-rule semantics here and the per-round plan is identical.
+
+    This is genuinely iterative — the SQL oracle replays it as a
+    recursive CTE over the same edges.
+
+    Edges are the per-band-group STAR edges (every member -> its group's
+    min doc_id, O(m) rows per group) — NOT ``neardup_groups``'s per-doc
+    one-hop keeper: collapsing a doc's bands to one keeper loses the
+    co-membership of a group's own min member (G={B,X} with X's global
+    keeper A<B would leave B edgeless), which breaks transitivity."""
+    # the minhash signature is computed ONCE (bands checkpointed); edges,
+    # nodes and every propagation round derive from materialized blocks
+    bands = lsh_band_rows(docs, num_hashes, band_size, k).localCheckpoint(
+        eager=True
+    )
+    grp_min = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("grp_min")
+    )
+    edges = (
+        bands.join(grp_min, ["band", "band_sig"])
+        .filter(F.col("grp_min") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("a"), F.col("grp_min").alias("b"))
+        .distinct()
+    )
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        bands.select("doc_id")
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    # labels only ever DECREASE (min propagation), so sum(lbl) strictly
+    # drops on any change — a one-aggregate convergence probe instead of a
+    # join-per-round changed-count (halves the per-round job count)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und.a == labels.doc_id)
+            .select(F.col("b").alias("doc_id"), "lbl")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") != F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — bit b of the signature is the sign of the sum of
     (+1/-1) votes of bit b of each token's md5 (first bits/4 hex chars).

@@ -124,6 +124,79 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Repetition-oriented quality signals (the Gopher/MassiveText rules
+    family): per document —
+
+    - ``n_words``            whitespace token count (lowercased tokens)
+    - ``mean_word_len``      average token length
+    - ``dup_2gram_frac``     1 - distinct/total word 2-grams (repetition)
+    - ``top_word``           most frequent token (ties to lexicographic
+                             smallest), '' for empty docs
+    - ``top_word_frac``      its share of all tokens
+
+    Plan shape (scale-reviewed): the repetition and length stats are PURE
+    NARROW array expressions (zero shuffles); the top-word branch is two
+    map-side-combined hash aggregates (token counts, then a struct-min
+    per doc) re-joined on the doc_id primary key — one equi-join AQE
+    sizes freely.  No windows, no per-row Python."""
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    base = docs.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    g1 = F.slice(F.col("t"), 1, n - 1)
+    g2 = F.slice(F.col("t"), 2, n - 1)
+    grams = F.zip_with(g1, g2, lambda a, b: F.concat(a, F.lit(" "), b))
+    char_sum = F.aggregate(
+        F.col("t"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    narrow = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(F.when(n > 0, char_sum / n).otherwise(0.0), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.when(
+                n >= 2, 1.0 - F.size(F.array_distinct(grams)) / (n - 1)
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+    tok_counts = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # min of struct(-cnt, tok): highest count, ties to smallest token
+    top = (
+        tok_counts.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("tok"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.tok").alias("top_word"),
+            (-F.col("m.nc")).alias("top_cnt"),
+        )
+    )
+    return narrow.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "dup_2gram_frac",
+        F.coalesce("top_word", F.lit("")).alias("top_word"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.coalesce(F.col("top_cnt"), F.lit(0)) / F.col("n_words"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_word_frac"),
+    )
+
+
 #: BPE-ish pre-tokenizer: disjoint character-class alternatives (alpha runs,
 #: digit runs, symbol runs — optionally space-prefixed, GPT-2-style) so
 #: Java-regex and RE2 engines agree without alternation-priority semantics

@@ -479,3 +479,80 @@ def test_stratified_sample_rejects_negative_doc_id(spark):
     )
     with pytest.raises(Exception, match="stratified_sample"):
         stratified_sample(df, 1, 5).collect()
+
+
+def test_gopher_quality_hand_checked(spark):
+    from learnhtml_spark.functions.textstats import gopher_quality
+
+    rows = [
+        (1, "a a b"),
+        (2, "x x x x"),
+        (3, ""),
+        (4, "Hello hello"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert out[1] == {
+        "doc_id": 1, "n_words": 3, "mean_word_len": 1.0,
+        "dup_2gram_frac": 0.0, "top_word": "a",
+        "top_word_frac": round(2 / 3, 6),
+    }
+    assert out[4]["mean_word_len"] == 5.0
+    # "x x x x": 3 identical 2-grams -> 1 - 1/3 repetition; top word all 4
+    assert out[2]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out[2]["top_word_frac"] == 1.0
+    assert out[3] == {
+        "doc_id": 3, "n_words": 0, "mean_word_len": 0.0,
+        "dup_2gram_frac": 0.0, "top_word": "", "top_word_frac": 0.0,
+    }
+    # case-folded: Hello == hello
+    assert out[4]["top_word"] == "hello" and out[4]["top_word_frac"] == 1.0
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """dup_clusters must equal connected components (python union-find)
+    over the SAME per-band-group star edges — including transitive chains
+    the one-hop keeper form (neardup_groups) does not close."""
+    from learnhtml_spark.functions.dedup import dup_clusters, lsh_band_rows
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest this morning")
+    variants = [
+        base, base, base,
+        base.replace("quick", "fast"),
+        base.replace("quick", "fast").replace("dog", "cat"),
+        base.replace("dog", "cat"),
+        base.replace("forest", "valley"),
+        "completely unrelated text about query planners and shuffles",
+        "completely unrelated text about query planners and shuffles",
+        "another lonely document with no duplicates anywhere at all",
+    ]
+    rows = [(i + 1, t) for i, t in enumerate(variants)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python oracle: union-find over (band, band_sig) co-membership
+    groups = {}
+    for r in lsh_band_rows(df).collect():
+        groups.setdefault((r["band"], r["band_sig"]), []).append(r["doc_id"])
+    parent = {i + 1: i + 1 for i in range(len(variants))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in groups.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: min(x for x in parent if find(x) == find(d))
+                for d in parent}
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert got == expected
+    dup_flags = {r["doc_id"]: r["is_duplicate"] for r in dup_clusters(df).collect()}
+    assert all(dup_flags[d] == (expected[d] != d) for d in expected)
+    # sanity: identical triplet collapsed to min id
+    assert expected[2] == 1 and expected[3] == 1
