@@ -344,6 +344,24 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
 
+def q_simhash_neardup(spark, sf_dir):
+    # Manku-table SimHash near-dup: block equi-join candidates (pigeonhole
+    # recall for hamming < n_blocks) + exact popcount verify; block groups
+    # capped like the MinHash bands.  16-bit sigs are the oracle-grade
+    # config; production uses 64-bit sigs / 8 blocks for join-key entropy
+    from learnhtml_spark.functions.dedup import simhash_neardup
+
+    return simhash_neardup(_docs(spark, sf_dir), bits=16, max_hamming=2)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    # per-doc top-5 TF-IDF keywords (rational log-free idf for bit-stable
+    # cross-engine parity); rank window on high-cardinality doc_id
+    from learnhtml_spark.functions.chunking import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def q_cosine_topk(spark, sf_dir):
     from learnhtml_spark.functions.similarity import cosine_topk
 
@@ -638,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "neardup_stream": q_neardup_stream,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "tfidf_topk": q_tfidf_topk,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
@@ -959,6 +979,82 @@ sums as (
 )
 select doc_id, cast(""" + _SIMHASH_SIG + r""" as bigint) as simhash
 from sums
+"""
+
+# simhash_neardup: same signature CTEs, then the 4-bit block rows
+# (integer-arithmetic extraction — portable, no engine bit ops needed on
+# the build side), the max_block_group cap window, pigeonhole candidate
+# pairs, and the exact popcount verify
+_SIMHASH_BLK_VALS = "\n".join(
+    "             when {b} then (simhash // {d}) % 16".format(b=b, d=1 << (4 * b))
+    for b in range(1, 4)
+)
+_SIMHASH_NEARDUP_SQL = r"""
+with
+""" + _TOKS_CTE + r""",
+tok as (select doc_id, unnest(list_transform(t, x -> lower(x))) as tok from toks),
+th as (select doc_id, md5(tok) as th from tok),
+sums as (
+  select doc_id,
+         """ + _SIMHASH_VOTE_SUMS + r"""
+  from th group by doc_id
+),
+sig as (
+  select doc_id, cast(""" + _SIMHASH_SIG + r""" as bigint) as simhash from sums
+),
+blk as (
+  select doc_id, blk,
+         case blk when 0 then simhash % 16
+""" + _SIMHASH_BLK_VALS + r"""
+         end as val
+  from sig, (select unnest(range(4)) as blk)
+),
+blkc as (
+  select doc_id, blk, val from (
+    select doc_id, blk, val, count(*) over (partition by blk, val) as m
+    from blk) where m <= 1000
+),
+cand as (
+  select distinct x.doc_id as doc_a, y.doc_id as doc_b
+  from blkc x join blkc y on x.blk = y.blk and x.val = y.val
+  where x.doc_id < y.doc_id
+)
+select c.doc_a, c.doc_b,
+       cast(bit_count(xor(sa.simhash, sb.simhash)) as int) as hamming
+from cand c
+join sig sa on sa.doc_id = c.doc_a
+join sig sb on sb.doc_id = c.doc_b
+where bit_count(xor(sa.simhash, sb.simhash)) <= 2
+"""
+
+# tfidf_topk: rational log-free idf (N+1)/(df+1) — divide-then-multiply in
+# both engines so round(score, 6) matches bit-for-bit
+_TFIDF_SQL = r"""
+with toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then cast([] as varchar[])
+              else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+tf as (
+  select doc_id, tok as token, count(*) as tf
+  from (select doc_id, unnest(t) as tok from toks)
+  where tok <> '' group by doc_id, tok
+),
+dfx as (select token, count(distinct doc_id) as df from tf group by token),
+scored as (
+  select tf.doc_id, tf.token, tf.tf,
+         tf.tf * (((select count(*) from documents) + 1.0) / (dfx.df + 1)) as s
+  from tf join dfx using (token)
+),
+ranked as (
+  select doc_id, token, tf, s,
+         row_number() over (partition by doc_id
+                            order by s desc, token asc) as rank
+  from scored
+)
+select doc_id, token, tf, round(s, 6) as score, cast(rank as int) as rank
+from ranked where rank <= 5
 """
 
 _COSINE_SQL = r"""
@@ -1388,6 +1484,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_SQL,
         "neardup_stream": _NEARDUP_STREAM_SQL,
         "simhash": _SIMHASH_SQL,
+        "simhash_neardup": _SIMHASH_NEARDUP_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,
         "ann_topk": _ANN_TOPK_SQL,

@@ -71,6 +71,63 @@ def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, token, tf, score, rank): each document's ``k`` most
+    characteristic tokens by TF-IDF — the keyword/topic-tagging pass of a
+    training-data pipeline.
+
+    The IDF here is the LOG-FREE rational form idf = (N+1)/(df+1): both
+    engines compute integer-ratio division and one multiplication in
+    IEEE double, so Spark and the SQL oracle agree BIT-FOR-BIT (Java's
+    ``Math.log`` is only 1-ulp-accurate and is not guaranteed to match
+    another engine's libm at round(…, 6) boundaries).  Within one token
+    the log is a monotone rescale, so per-doc rankings differ only where
+    log-idf rankings were float-fragile anyway.
+
+    Plan: one token-count aggregate, one DF aggregate over it (map-side
+    combined), one equi-join token→idf (AQE-sized; the df table is
+    vocabulary-sized, typically broadcastable), and a per-doc rank window
+    over the high-cardinality doc_id — scale-safe, no whole-corpus
+    window.  N (corpus row count) is frozen into the plan at build time,
+    like the boundary literals of the two-phase rank."""
+    from pyspark.sql import Window
+
+    n_corpus = docs.count()
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_tbl, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (
+            F.col("tf") * (F.lit(float(n_corpus + 1)) / (F.col("df") + 1))
+        ).alias("_score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("_score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame, eval_n: int = 20, k: int = 5
 ) -> DataFrame:

@@ -413,6 +413,85 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return sig
 
 
+def simhash_neardup(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 2,
+    n_blocks: int = 4,
+    max_block_group: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming) for signature pairs
+    within ``max_hamming`` bits — the Manku/Jain/Sarma (WWW'07) table
+    scheme: split the ``bits``-bit signature into ``n_blocks`` equal
+    blocks; by pigeonhole any pair within ``max_hamming`` < n_blocks bits
+    shares at least one identical block, so an equi-join per block finds
+    ALL qualifying candidates, verified by an exact popcount filter.
+
+    Scale notes: block-value groups are the skew hazard here (a 4-bit
+    block has only 16 values) — real deployments use 64-bit signatures
+    and 8+ blocks so the join key has enough entropy; ``max_block_group``
+    caps the self-join exactly like ``max_band_group`` in the MinHash
+    path, and the signature computation is ONE hash aggregate
+    (``simhash``).  The verify joins are unhinted — AQE picks the build
+    side (the candidate aggregate, never the per-doc signature table)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            "pigeonhole recall needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    if bits % n_blocks:
+        raise ValueError("bits must divide evenly into n_blocks")
+    from pyspark.sql import Window
+
+    w = bits // n_blocks
+    sig = simhash(docs, bits)
+    blocks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.blk", "x.val")
+    blocks = (
+        blocks.withColumn(
+            "_m", F.count("*").over(Window.partitionBy("blk", "val"))
+        )
+        .filter(F.col("_m") <= max_block_group)
+        .drop("_m")
+    )
+    a = blocks.select("blk", "val", F.col("doc_id").alias("doc_a"))
+    b = blocks.select("blk", "val", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def neardup_pairs(
     docs: DataFrame,
     threshold: float = 0.4,

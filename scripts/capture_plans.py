@@ -19,6 +19,8 @@ NOTES = {
     "neardup_groups": "keeper-edge scale-default: band rows -> group-min agg -> join back on same key -> per-doc min; O(m) per band group",
     "dup_clusters": "iterative min-label propagation (plan shown is the CONVERGED labels read off localCheckpoint blocks; each round was one shuffle join + min agg)",
     "gopher_quality": "narrow repetition/length exprs + two hash aggs for top word + one pk join",
+    "simhash_neardup": "Manku-table: one sig aggregate -> capped block equi-join -> popcount verify (AQE-sided sig joins)",
+    "tfidf_topk": "tf agg -> df agg -> token join (vocab-sized, AQE) -> doc_id rank window",
     "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
     "ann_topk": "bucket inline (mapInPandas) -> ONE shuffle (groupBy bucket) -> numpy gram + top-k per bucket (applyInPandas)",
     "ivf_topk": "IVF-flat: centroid broadcast -> inline cell assignment (mapInPandas) -> ONE shuffle -> per-cell gram top-k",

@@ -556,3 +556,46 @@ def test_dup_clusters_matches_union_find(spark):
     assert all(dup_flags[d] == (expected[d] != d) for d in expected)
     # sanity: identical triplet collapsed to min id
     assert expected[2] == 1 and expected[3] == 1
+
+
+def test_simhash_neardup_identical_and_cap(spark):
+    from learnhtml_spark.functions.dedup import simhash_neardup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "an entirely different document about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_neardup(df).collect()}
+    assert out[(1, 2)] == 0  # identical text -> identical signature
+    # cap: identical docs all land in the same block groups; a tiny cap
+    # drops them from pair output entirely
+    assert simhash_neardup(df, max_block_group=1).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup(df, max_hamming=4, n_blocks=4)
+
+
+def test_tfidf_topk_hand_checked(spark):
+    """Rational-idf TF-IDF: score = tf * (N+1)/(df+1), ties to the
+    lexicographically smaller token."""
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from learnhtml_spark.functions.chunking import tfidf_topk
+
+    out = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"])
+           for r in tfidf_topk(df, k=2).collect()}
+    # N=3; df: apple 1, banana 2, cherry 2, durian 1
+    assert out[(1, 1)] == ("apple", 2, round(2 * (4 / 2), 6))      # 4.0
+    assert out[(1, 2)] == ("banana", 1, round(1 * (4 / 3), 6))
+    assert out[(3, 1)] == ("cherry", 3, round(3 * (4 / 3), 6))     # 4.0
+    assert out[(3, 2)] == ("durian", 1, round(1 * (4 / 2), 6))
+    # doc 2: banana and cherry tie at 4/3 -> banana first lexicographically
+    assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
