@@ -131,7 +131,10 @@ def streaming_neardup_bands(
     the window is evicted — a later duplicate of an evicted page is
     simply treated as first-seen, the standard recall/state trade of
     windowed dedup.  The replay-oracle harness leaves it None (exact
-    first-seen semantics over one AvailableNow micro-batch)."""
+    first-seen semantics over one AvailableNow micro-batch).  Use a TTL
+    only with a continuous trigger: AvailableNow stops before the empty
+    cleanup batches that process timeouts can run (the TTL test drives a
+    processingTime trigger for exactly this reason)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

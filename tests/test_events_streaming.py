@@ -238,3 +238,72 @@ def test_streaming_neardup_bands_first_seen_wins(spark, tmp_path):
     write_docs(ind / "b.parquet", [(1, base, "en", "s3")])
     got2 = drain("nd_2")
     assert got2 == {1: (3, True)}
+
+def test_streaming_neardup_state_ttl_evicts(spark, tmp_path):
+    """The optional state TTL (ADVICE r4): with ProcessingTimeTimeout a
+    band group unseen past the TTL is evicted by a later micro-batch, so
+    a subsequent duplicate of the evicted page is treated as first-seen —
+    the documented recall/state trade.  Needs a continuous trigger (an
+    AvailableNow replay stops before cleanup batches can run); the query
+    idles past the TTL so the empty cleanup batches evict, then the late
+    duplicate arrives."""
+    import time
+
+    import pandas as pd
+
+    from learnhtml_spark.streaming.dedup_stream import read_docs_stream
+    from learnhtml_spark.streaming.neardup_stream import (
+        neardup_verdicts,
+        streaming_neardup_bands,
+    )
+
+    ind = tmp_path / "ttl_in"
+    ind.mkdir()
+    outdir = str(tmp_path / "ttl_out")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def write_docs(path, rows):
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source"]
+        ).to_parquet(path, index=False)
+
+    write_docs(ind / "a.parquet", [(5, base, "en", "s1"), (8, base, "en", "s1")])
+
+    def sink(batch_df, batch_id):
+        neardup_verdicts(batch_df).write.mode("append").parquet(outdir)
+
+    q = (
+        streaming_neardup_bands(
+            read_docs_stream(spark, str(ind)), state_ttl_ms=3_000
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def read_out():
+            try:
+                return {
+                    r["doc_id"]: (r["keep_doc_id"], r["is_duplicate"])
+                    for r in spark.read.parquet(outdir).collect()
+                }
+            except Exception:
+                return {}
+
+        deadline = time.time() + 90
+        while time.time() < deadline and len(read_out()) < 2:
+            time.sleep(1)
+        got = read_out()
+        assert got[5] == (5, False) and got[8] == (5, True)
+
+        # idle past the TTL so cleanup batches evict the keeper state,
+        # then replay an exact duplicate: first-seen, NOT flagged vs 5
+        time.sleep(8)
+        write_docs(ind / "b.parquet", [(2, base, "en", "s2")])
+        while time.time() < deadline and 2 not in read_out():
+            time.sleep(1)
+        assert read_out()[2] == (2, False)
+    finally:
+        q.stop()
