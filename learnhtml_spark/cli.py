@@ -288,9 +288,10 @@ def cmd_extract_html(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="learnhtml-spark")
     ap.add_argument(
-        "-v", "--verbosity", default="INFO",
+        "-v", "--verbosity", default="INFO", type=str.upper,
         choices=["DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL"],
-        help="package log level (reference click_log verbosity option)",
+        help="package log level, case-insensitive (reference click_log "
+             "verbosity option)",
     )
     sub = ap.add_subparsers(dest="cmd", required=True)
 

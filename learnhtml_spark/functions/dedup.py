@@ -356,6 +356,7 @@ def dup_clusters(
     # drops on any change — a one-aggregate convergence probe instead of a
     # join-per-round changed-count (halves the per-round job count)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         msgs = (
             und.join(labels, und.a == labels.doc_id)
@@ -369,8 +370,18 @@ def dup_clusters(
         )
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # silently returning partial labels would split one transitive
+        # component into several with no signal — fail loudly instead
+        # (component diameter exceeded max_iter; raise it, or switch to
+        # the large-star/small-star O(log d) variant for such graphs)
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter too large); raise max_iter"
+        )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

@@ -143,6 +143,9 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
     base = docs.select("doc_id", toks.alias("t"))
     n = F.size("t")
+    # slice length n-1 is negative for empty docs — legal only because
+    # grams is referenced solely inside the n >= 2 branch of the
+    # dup_2gram_frac conditional (Spark's If evaluates branches lazily)
     g1 = F.slice(F.col("t"), 1, n - 1)
     g2 = F.slice(F.col("t"), 2, n - 1)
     grams = F.zip_with(g1, g2, lambda a, b: F.concat(a, F.lit(" "), b))

@@ -12,6 +12,9 @@ if not logger.handlers:
     _h.setFormatter(logging.Formatter("%(levelname)s: %(message)s"))
     logger.addHandler(_h)
     logger.setLevel(logging.INFO)
+    # own handler attached -> stop propagation, or a host app's root
+    # handler (logging.basicConfig) would print every message twice
+    logger.propagate = False
 
 
 def set_verbosity(level: str) -> None:

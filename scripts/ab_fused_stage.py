@@ -11,7 +11,6 @@ Prints one JSON line per config plus a summary; writes
 artifacts_ab_fused.json.
 """
 
-import itertools
 import json
 import os
 import sys
@@ -66,29 +65,37 @@ def main():
             rates += [p0, p1]
             walls.append(round(w, 2))
             brackets.append([p0, p1])
-        ref = bench._ref_rate(rates)
-        flags = ["clean" if min(b) >= 0.94 * ref else
-                 ("steady" if max(b) / min(b) <= 1.18 else "noisy")
-                 for b in brackets]
-        quiet = [w for w, f in zip(walls, flags) if f != "noisy"]
-        rec = {
-            "batch": batch, "part": part, "walls": walls, "flags": flags,
-            "wall_certified": min(quiet) if quiet else None,
-            "docs_per_sec": round(n_docs / min(quiet), 1) if quiet else None,
-        }
+        rec = {"batch": batch, "part": part, "walls": walls,
+               "brackets": brackets}
         results.append(rec)
-        print(json.dumps(rec), flush=True)
+        print(json.dumps({k: rec[k] for k in ("batch", "part", "walls")}),
+              flush=True)
 
-    # re-flag everything against the final reference rate
+    # flag + certify every config against the FINAL reference rate — an
+    # incrementally-grown ref would judge early configs by a depressed
+    # baseline and later configs by the full-run one (the cross-config
+    # inconsistency bench.py's end-of-run _ref_rate protocol prevents)
     ref = bench._ref_rate(rates)
     for rec in results:
-        rec["probe_rel"] = None  # flags already embedded
-    best = min((r for r in results if r["wall_certified"]),
-               key=lambda r: r["wall_certified"])
+        flags = ["clean" if min(b) >= 0.94 * ref else
+                 ("steady" if max(b) / min(b) <= 1.18 else "noisy")
+                 for b in rec.pop("brackets")]
+        quiet = [w for w, f in zip(rec["walls"], flags) if f != "noisy"]
+        rec["flags"] = flags
+        rec["wall_certified"] = min(quiet) if quiet else None
+        rec["docs_per_sec"] = (
+            round(n_docs / min(quiet), 1) if quiet else None
+        )
+    certified = [r for r in results if r["wall_certified"] is not None]
+    best = (
+        min(certified, key=lambda r: r["wall_certified"])
+        if certified else None
+    )
     out = {"n_docs": n_docs, "cpus": CPUS, "results": results,
-           "best": {"batch": best["batch"], "part": best["part"],
-                    "wall": best["wall_certified"],
-                    "docs_per_sec": best["docs_per_sec"]}}
+           "best": ({"batch": best["batch"], "part": best["part"],
+                     "wall": best["wall_certified"],
+                     "docs_per_sec": best["docs_per_sec"]}
+                    if best else None)}
     with open("artifacts_ab_fused.json", "w") as f:
         json.dump(out, f, indent=1)
     print("BEST:", json.dumps(out["best"]))

@@ -85,8 +85,9 @@ def main():
     out = {"cpus": CPUS, "points": {}}
     # warm once (codegen + python workers)
     bench.noop_write(minhash_lsh_candidates(d1))
+    n1, n10 = d1.count(), d10.count()
     for name, fn in ops.items():
-        for tag, df, n in (("1x", d1, d1.count()), ("10x", d10, d10.count())):
+        for tag, df, n in (("1x", d1, n1), ("10x", d10, n10)):
             t0 = time.time()
             bench.noop_write(fn(df))
             w = time.time() - t0

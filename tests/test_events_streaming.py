@@ -302,6 +302,7 @@ def test_streaming_neardup_state_ttl_evicts(spark, tmp_path):
         # then replay an exact duplicate: first-seen, NOT flagged vs 5
         time.sleep(8)
         write_docs(ind / "b.parquet", [(2, base, "en", "s2")])
+        deadline = time.time() + 90  # re-arm: phase 1 may have eaten it
         while time.time() < deadline and 2 not in read_out():
             time.sleep(1)
         assert read_out()[2] == (2, False)
