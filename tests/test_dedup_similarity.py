@@ -599,3 +599,18 @@ def test_tfidf_topk_hand_checked(spark):
     assert out[(3, 2)] == ("durian", 1, round(1 * (4 / 2), 6))
     # doc 2: banana and cherry tie at 4/3 -> banana first lexicographically
     assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iter without a fixed point must fail loudly, never
+    return partially-propagated (split) components."""
+    import pytest
+
+    from learnhtml_spark.functions.dedup import dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(df, max_iter=0)
