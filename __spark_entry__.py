@@ -354,6 +354,15 @@ def q_simhash_neardup(spark, sf_dir):
     return simhash_neardup(_docs(spark, sf_dir), bits=16, max_hamming=2)
 
 
+def q_pack_sequences(spark, sf_dir):
+    # LLM sequence packing: md5-bucketed concat-then-chunk token stream;
+    # offsets via the skew-safe two-phase distributed cumulative sum —
+    # all integer arithmetic, bit-identical in SQL
+    from learnhtml_spark.functions.chunking import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=512, n_buckets=16)
+
+
 def q_tfidf_topk(spark, sf_dir):
     # per-doc top-5 TF-IDF keywords (rational log-free idf for bit-stable
     # cross-engine parity); rank window on high-cardinality doc_id
@@ -658,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "tfidf_topk": q_tfidf_topk,
+        "pack_sequences": q_pack_sequences,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
@@ -1055,6 +1065,35 @@ ranked as (
 )
 select doc_id, token, tf, round(s, 6) as score, cast(rank as int) as rank
 from ranked where rank <= 5
+"""
+
+# pack_sequences: md5 bucket + exclusive prefix sum + integer division —
+# every step integer-exact, so the window form here replays the two-phase
+# distributed cumsum bit-for-bit
+_PACK_SQL = r"""
+with toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then cast([] as varchar[])
+              else regexp_split_to_array(trim(text), '\s+') end as t
+  from documents
+),
+base as (
+  select doc_id, len(t)::bigint as n_tokens,
+         cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+              % 16 as int) as bucket
+  from toks where len(t) > 0
+),
+cum as (
+  select doc_id, bucket, n_tokens,
+         coalesce(sum(n_tokens) over (
+           partition by bucket order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) as start_tok
+  from base
+)
+select doc_id, bucket, n_tokens, start_tok,
+       start_tok // 512 as first_bin,
+       (start_tok + n_tokens - 1) // 512 as last_bin
+from cum
 """
 
 _COSINE_SQL = r"""
@@ -1486,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "simhash_neardup": _SIMHASH_NEARDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "pack_sequences": _PACK_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_buckets": _ANN_BUCKETS_SQL,
         "ann_topk": _ANN_TOPK_SQL,

@@ -71,6 +71,54 @@ def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame, capacity: int = 512, n_buckets: int = 64
+) -> DataFrame:
+    """LLM-pretraining sequence packing — concatenate documents in a
+    deterministic order and chunk the token stream into fixed
+    ``capacity``-token sequences: (doc_id, bucket, n_tokens, start_tok,
+    first_bin, last_bin) where ``start_tok`` is the doc's offset in its
+    bucket's concatenated stream and first/last_bin the sequence ids it
+    lands in (a doc may straddle bins — the concat-then-chunk semantics
+    real packing uses; no remainder waste).  Zero-token docs pack
+    nothing and are excluded.
+
+    Scale shape: docs are sharded into ``n_buckets`` portable md5 hash
+    buckets (production sets buckets ≈ corpus/10^6 so each stays
+    task-sized) and the per-bucket offset is the skew-safe two-phase
+    distributed cumulative sum (``windows.grouped_cumsum``) — no
+    whole-bucket window, all integer arithmetic, bit-identical in SQL."""
+    from learnhtml_spark.functions.windows import grouped_cumsum
+
+    if capacity <= 0 or n_buckets <= 0:
+        raise ValueError("capacity and n_buckets must be positive")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(n_buckets)
+    ).cast("int")
+    base = base.withColumn("bucket", bucket)
+    cum = grouped_cumsum(
+        base, group="bucket", order="doc_id", value="n_tokens",
+        out="start_tok",
+    )
+    return cum.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "start_tok",
+        # `div` = integer division (no double round-trip: float division
+        # loses exactness past 2^53 token offsets at full corpus scale)
+        F.expr(f"start_tok div {capacity}").cast("long").alias("first_bin"),
+        F.expr(
+            f"(start_tok + n_tokens - 1) div {capacity}"
+        ).cast("long").alias("last_bin"),
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, token, tf, score, rank): each document's ``k`` most
     characteristic tokens by TF-IDF — the keyword/topic-tagging pass of a

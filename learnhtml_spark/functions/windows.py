@@ -125,6 +125,71 @@ def group_topk(
     )
 
 
+def grouped_cumsum(
+    docs: DataFrame,
+    group: str,
+    order: str,
+    value: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(order, group, value, ``out``): EXCLUSIVE prefix sum of ``value``
+    within each group ordered by ``order`` — ``sibling_positions``
+    generalized from counting rows to summing a column, with the same
+    skew-safe two-phase shape: literal-boundary chunk ids (pure row
+    function), a local window over the high-cardinality (chunk, group)
+    key, and a broadcast of per-chunk totals cumulated into offsets.  No
+    task ever windows over a whole group."""
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    narrow = docs.select(order, group, value)
+    bounds = _chunk_boundaries(narrow, group, order, num_partitions)
+    dtypes = dict(narrow.dtypes)
+    if bounds:
+        garr = F.lit([g for g, _ in bounds]).cast(f"array<{dtypes[group]}>")
+        oarr = F.lit([o for _, o in bounds]).cast(f"array<{dtypes[order]}>")
+        zipped = F.arrays_zip(garr.alias("g"), oarr.alias("o"))
+        gc, oc = F.col(group), F.col(order)
+        chunk = F.size(
+            F.filter(
+                zipped,
+                lambda b: (gc > b["g"]) | ((gc == b["g"]) & (oc >= b["o"])),
+            )
+        )
+    else:
+        chunk = F.lit(0)
+    chunked = narrow.withColumn("_chunk", chunk)
+
+    local_w = (
+        Window.partitionBy("_chunk", group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = chunked.withColumn(
+        "_local", F.coalesce(F.sum(value).over(local_w), F.lit(0))
+    )
+    totals = chunked.groupBy("_chunk", group).agg(
+        F.sum(value).alias("_t")
+    )
+    off_w = (
+        Window.partitionBy(group)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_t").over(off_w), F.lit(0))
+    ).select("_chunk", group, "_off")
+    return local.join(F.broadcast(offsets), ["_chunk", group]).select(
+        order,
+        group,
+        value,
+        (F.col("_local") + F.col("_off")).cast("long").alias(out),
+    )
+
+
 def sibling_positions(
     docs: DataFrame,
     group: str = "source",

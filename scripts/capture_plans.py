@@ -21,6 +21,7 @@ NOTES = {
     "gopher_quality": "narrow repetition/length exprs + two hash aggs for top word + one pk join",
     "simhash_neardup": "Manku-table: one sig aggregate -> capped block equi-join -> popcount verify (AQE-sided sig joins)",
     "tfidf_topk": "tf agg -> df agg -> token join (vocab-sized, AQE) -> doc_id rank window",
+    "pack_sequences": "md5 bucket -> two-phase distributed cumsum (literal-boundary chunks + broadcast offsets) -> integer bin math",
     "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
     "ann_topk": "bucket inline (mapInPandas) -> ONE shuffle (groupBy bucket) -> numpy gram + top-k per bucket (applyInPandas)",
     "ivf_topk": "IVF-flat: centroid broadcast -> inline cell assignment (mapInPandas) -> ONE shuffle -> per-cell gram top-k",

@@ -245,3 +245,64 @@ def test_stratified_sample_full_fraction_keeps_everything(spark):
         stratified_sample(df, 2, 1)
     with _pytest.raises(ValueError):
         stratified_sample(df, 0, 5)
+
+
+def test_grouped_cumsum_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.windows import grouped_cumsum
+
+    rows = [(i, f"s{i % 3}", (i * 7) % 13 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    got = {
+        (r["doc_id"], r["source"]): r["cum"]
+        for r in grouped_cumsum(
+            df, group="source", order="doc_id", value="v", num_partitions=7
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["doc_id"], r["source"]): r["c"]
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+    # skew guard: the full-data window must key on (_chunk, group)
+    plan = (
+        grouped_cumsum(df, "source", "doc_id", "v", num_partitions=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk packing: per-bucket offsets are the exclusive
+    cumsum in doc_id order; bins derive by integer division; zero-token
+    docs pack nothing."""
+    from learnhtml_spark.functions.chunking import pack_sequences
+
+    rows = [(i, "tok " * ((i * 11) % 30)) for i in range(200)]
+    rows.append((900, ""))  # zero tokens -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=16, n_buckets=4).collect()
+    assert all(r["doc_id"] != 900 for r in out)
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    total_docs = sum(1 for i, t in rows if t.strip())
+    assert sum(len(v) for v in by_bucket.values()) == total_docs
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rs:
+            assert r["start_tok"] == run
+            assert r["first_bin"] == r["start_tok"] // 16
+            assert r["last_bin"] == (r["start_tok"] + r["n_tokens"] - 1) // 16
+            assert r["first_bin"] <= r["last_bin"]
+            run += r["n_tokens"]
