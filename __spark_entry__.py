@@ -176,6 +176,14 @@ def q_dup_stats(spark, sf_dir):
     return dup_stats(_docs(spark, sf_dir))
 
 
+def q_segment_dedup(spark, sf_dir):
+    # C4-style segment-level dedup: first corpus-wide occurrence of each
+    # 10-token segment survives, documents reassembled in order
+    from learnhtml_spark.functions.dedup import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), seg_tokens=10)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from learnhtml_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -656,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "dup_stats": q_dup_stats,
+        "segment_dedup": q_segment_dedup,
         "dedup_stream": q_dedup_stream,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1281,6 +1290,39 @@ def _pca_project_sql() -> str:
 
 _PCA_PROJECT_SQL = _pca_project_sql()
 
+# segment_dedup: C4-style first-occurrence segment keeper — same
+# tokenization as doc_chunks, keeper = min zero-padded doc_id|seg_id key
+# per md5(lower(segment)), document rebuilt with an ordered string_agg
+_SEGMENT_DEDUP_SQL = r"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(trim(text), '\s+') end as t
+  from documents
+),
+segs as (
+  select doc_id, cast(start // 10 as int) as seg_id,
+         array_to_string(t[start + 1 : start + 10], ' ') as seg_text
+  from (select doc_id, t, unnest(range(0, len(t), 10)) as start
+        from toks where len(t) > 0)
+),
+keyed as (
+  select doc_id, seg_id, seg_text,
+         md5(lower(seg_text)) as seg_key,
+         printf('%019d|%09d', doc_id, seg_id) as skey
+  from segs
+),
+kept as (
+  select doc_id, seg_id, seg_text,
+         skey = min(skey) over (partition by seg_key) as keep
+  from keyed
+)
+select doc_id, cast(count(*) as int) as n_segs,
+       cast(sum(case when keep then 1 else 0 end) as int) as n_kept,
+       coalesce(string_agg(case when keep then seg_text end, ' '
+                           order by seg_id), '') as clean_text
+from kept group by doc_id
+"""
+
 _DOC_CHUNKS_SQL = r"""
 with toks as (
   select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
@@ -1535,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _NEARDUP_SQL,
         "pca_project": _PCA_PROJECT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
+        "segment_dedup": _SEGMENT_DEDUP_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,

@@ -389,6 +389,92 @@ def dup_clusters(
     )
 
 
+def segment_dedup(docs: DataFrame, seg_tokens: int = 10) -> DataFrame:
+    """C4-style corpus-wide SEGMENT-level exact dedup with document
+    reassembly: split every document into consecutive non-overlapping
+    ``seg_tokens``-token segments, keep only the FIRST occurrence of
+    each distinct segment corpus-wide (first = smallest (doc_id,
+    seg_id)), and rebuild each document from its surviving segments in
+    original order — the classic repeated-boilerplate scrub (C4 removed
+    duplicated three-sentence spans the same way; Raffel et al. 2020
+    §2.2).  Output: (doc_id, n_segs, n_kept, clean_text); documents
+    with zero tokens produce no row, documents whose every segment was
+    seen earlier come back with ``clean_text = ''``.
+
+    Dedup keys are md5 of the lowercased segment (case-insensitive
+    match, fixed-width shuffle key); the keeper is chosen by a min over
+    a zero-padded ``doc_id|seg_id`` string key so the SQL oracle
+    replays the exact same ordering.  Requires doc_id >= 0 (plan-level
+    ``raise_error`` guard, the ``group_topk`` padded-key pattern).
+
+    Scale shape (100 TB): exactly two shuffles — a min-window
+    partitioned by the segment hash (a 10^6-copy boilerplate segment
+    costs one O(m) window partition, no pair emission, no cap needed),
+    then the per-document reassembly aggregate (``collect_list``
+    bounded by document length, the same bound the span-reassembly
+    sink relies on).  Segmentation itself is narrow: one tokenize, one
+    posexplode, one slice per segment."""
+    from pyspark.sql import Window
+
+    if seg_tokens <= 0:
+        raise ValueError("seg_tokens must be positive")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(seg_tokens))
+    segs = base.select(
+        "doc_id", "t", F.posexplode(starts).alias("seg_id", "start")
+    ).select(
+        "doc_id",
+        "seg_id",
+        F.array_join(
+            F.slice(F.col("t"), F.col("start") + 1, F.lit(seg_tokens)), " "
+        ).alias("seg_text"),
+    )
+    id_guard = F.when(
+        (F.col("doc_id").cast("long") < 0) | F.col("doc_id").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("segment_dedup: doc_id must be non-null and >= 0 for "
+                      "the padded keeper key; got "),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id").cast("long"))
+    keyed = segs.select(
+        "doc_id",
+        "seg_id",
+        "seg_text",
+        F.md5(F.lower("seg_text")).alias("seg_key"),
+        F.format_string("%019d|%09d", id_guard, F.col("seg_id")).alias("skey"),
+    )
+    w = Window.partitionBy("seg_key")
+    kept = keyed.select(
+        "doc_id",
+        "seg_id",
+        "seg_text",
+        (F.col("skey") == F.min("skey").over(w)).alias("keep"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_segs"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("seg_id"), F.col("seg_text")),
+                        )
+                    )
+                ),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — bit b of the signature is the sign of the sum of
     (+1/-1) votes of bit b of each token's md5 (first bits/4 hex chars).

@@ -614,3 +614,61 @@ def test_dup_clusters_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(df, max_iter=0)
+
+
+def test_segment_dedup_first_occurrence_and_reassembly(spark):
+    """segment_dedup (C4-style): the first corpus-wide occurrence of each
+    seg_tokens-token segment survives; documents are rebuilt in original
+    segment order; a fully-duplicated doc reassembles to ''."""
+    from learnhtml_spark.functions.dedup import segment_dedup
+
+    w = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        # doc 1: 2 full segments + a 3-token tail segment
+        (1, w(4, "a") + " " + w(4, "b") + " t1 t2 t3"),
+        # doc 2: repeats doc 1's first segment, then has its own
+        (2, w(4, "a") + " " + w(4, "c")),
+        # doc 3: nothing but doc 1's segments (fully duplicated)
+        (3, w(4, "a") + " " + w(4, "b")),
+        # doc 4: case-insensitive match of doc 1's first segment
+        (4, w(4, "a").upper()),
+        (5, ""),  # empty -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_tokens=4).collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (3, 3)
+    assert out[1]["clean_text"] == w(4, "a") + " " + w(4, "b") + " t1 t2 t3"
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["clean_text"] == w(4, "c")
+    assert (out[3]["n_segs"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["clean_text"] == ""
+    # lowercased key: doc 4's upper-case copy is a dup of doc 1's segment,
+    # and the keeper keeps its ORIGINAL casing
+    assert (out[4]["n_segs"], out[4]["n_kept"]) == (1, 0)
+
+
+def test_segment_dedup_rejects_negative_doc_id(spark):
+    from learnhtml_spark.functions.dedup import segment_dedup
+
+    df = spark.createDataFrame([(-1, "a b c")], "doc_id long, text string")
+    with pytest.raises(Exception, match="doc_id must be non-null"):
+        segment_dedup(df, seg_tokens=2).collect()
+
+
+def test_segment_dedup_mega_cluster_linear(spark):
+    """A 500-doc identical cluster must cost O(m) rows through the
+    min-window — no pair emission anywhere in the plan (scale guard for
+    the 10^6-copy boilerplate case)."""
+    from learnhtml_spark.functions.dedup import segment_dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    df = spark.range(500).selectExpr("id as doc_id", f"'{base}' as text")
+    out = segment_dedup(df, seg_tokens=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # window + agg only, never a self-join
+    rows = out.collect()
+    assert len(rows) == 500
+    kept = {r["doc_id"]: r["n_kept"] for r in rows}
+    assert kept[0] == 2 and sum(kept.values()) == 2
