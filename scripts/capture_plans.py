@@ -38,6 +38,7 @@ NOTES = {
     "ann_buckets": "one narrow mapInPandas (plane matrix is a python constant)",
     "token_bpe": "pure narrow plan (regexp_extract_all + aggregate, JVM-side)",
     "dedup_stream": "plan shown is the batch read of the stream's sink; the streaming plan is scan -> applyInPandasWithState (state store keyed by fp) -> sink",
+    "segment_dedup": "C4-style: narrow segmentation (tokenize -> posexplode -> slice) -> min-window on seg_key (O(m) per boilerplate cluster, no pairs) -> per-doc reassembly agg",
 }
 
 
