@@ -491,6 +491,17 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir), eval_n=20, k=5)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    # decontamination via a bit-exact Bloom bitmap (the 100 TB shape:
+    # constant-size plan literal probed narrowly; FP-included verdicts
+    # replayed identically by the oracle)
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
+
+    return bloom_decontaminate(
+        _docs(spark, sf_dir), eval_n=20, k=5, m_bits=32768, n_hash=3
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     # exact per-stratum deterministic sampling: floor(n/5) docs per
     # source in multiplicative-hash order, integer-only bound (a float
@@ -688,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "top_terms": q_top_terms,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "stratified_sample": q_stratified_sample,
         "media_features": q_media_features,
         "events_hourly": q_events_hourly,
@@ -1378,6 +1390,54 @@ from documents d left join hits h on d.doc_id = h.doc_id
 where d.doc_id not in (select doc_id from ev)
 """
 
+# bloom_decontaminate: identical double-hashed Bloom arithmetic as the
+# Spark operator — h1/h2 are the two 13-hex-digit halves of the gram md5,
+# probes (h1 + i*h2) % 32768, bitmap words of 32 bits bit_or-folded; the
+# oracle rebuilds the same bitmap and replays the same FP-included verdicts
+_BLOOM_DECONTAMINATE_SQL = r"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+sh5 as (
+  select doc_id, unnest(list_distinct(list_filter(
+    case when len(t) < 5 then [array_to_string(t, ' ')]
+         else list_transform(range(1, len(t) - 3),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) end,
+    s -> trim(s) <> ''))) as shingle
+  from toks
+),
+ev as (select doc_id from documents order by doc_id limit 20),
+eg as (select distinct shingle from sh5 join ev using (doc_id)),
+egh as (select ('0x'||substr(md5(shingle),1,13))::bigint as h1,
+               ('0x'||substr(md5(shingle),14,13))::bigint as h2 from eg),
+pos as (select ((h1 + i*h2) % 32768) as p
+        from egh cross join unnest(range(0,3)) t(i)),
+bloom as (select (p // 32)::int as w,
+                 bit_or(1::bigint << (p % 32)::int) as word
+          from pos group by 1),
+cg as (select s.doc_id,
+              ('0x'||substr(md5(s.shingle),1,13))::bigint as h1,
+              ('0x'||substr(md5(s.shingle),14,13))::bigint as h2
+       from sh5 s where s.doc_id not in (select doc_id from ev)),
+pr as (select doc_id, h1, h2,
+              bool_and(coalesce(b.word, 0)
+                       & (1::bigint << (((h1+i*h2) % 32768) % 32)::int) <> 0) as hit
+       from cg cross join unnest(range(0,3)) t(i)
+            left join bloom b on b.w = (((h1+i*h2) % 32768) // 32)::int
+       group by doc_id, h1, h2),
+hits as (select doc_id, count(*) as n_grams,
+                sum(case when hit then 1 else 0 end) as n_hits
+         from pr group by doc_id)
+select d.doc_id,
+       cast(coalesce(h.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       coalesce(h.n_hits, 0) > 0 as contaminated
+from documents d left join hits h on d.doc_id = h.doc_id
+where d.doc_id not in (select doc_id from ev)
+"""
+
 _STRATIFIED_SAMPLE_SQL = r"""
 with h as (
   select doc_id, source, (doc_id * 2654435761) % 2147483647 as hv
@@ -1580,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": _SEGMENT_DEDUP_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         # media_features: binary synthesis + decode is not SQL-expressible;
         # rows-only driver check (encoders/decoders are inverse-tested in

@@ -214,3 +214,100 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_n: int = 20,
+    k: int = 5,
+    m_bits: int = 32768,
+    n_hash: int = 3,
+) -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated) — benchmark
+    decontamination through a BIT-EXACT Bloom filter instead of the
+    broadcast gram set ``decontaminate`` uses: the eval set's k-gram
+    shingles are folded into an ``m_bits``-bit bitmap (``n_hash``
+    double-hashed probes per gram, h_i = (h1 + i*h2) mod m from two
+    13-hex-digit halves of the gram's md5), and every corpus gram tests
+    its probes against the bitmap.  Deterministic integer arithmetic
+    end-to-end, so the DuckDB oracle replays the identical bitmap and
+    the identical (false-positive-included) verdicts.
+
+    This is the 100 TB shape of decontamination: a real benchmark suite
+    can hold 10^8+ grams (hundreds of MB as a broadcast set — painful),
+    but the bitmap is a CONSTANT ``m_bits/8`` bytes regardless of gram
+    count, shipped into the plan as an array literal exactly like the
+    LSH plane matrix (similarity.py) — the corpus-side probe is then
+    FULLY NARROW: md5 + integer mod + element_at against the literal,
+    no join, no shuffle before the final per-doc aggregate.  The only
+    driver materialization is the bitmap itself, bounded by the
+    constant ``m_bits/32`` words (not by data size).  False positives
+    are the documented price (rate ≈ (set_bits/m)^n_hash); eval docs
+    are excluded from the output like ``decontaminate``.
+
+    Tuning at scale: m_bits ~ 10 bits/gram keeps FP < 1%; the bitmap
+    literal stays ≤ ~1 GB up to 10^9 eval grams."""
+    if m_bits <= 0 or m_bits % 32 != 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if n_hash <= 0 or n_hash > 8:
+        raise ValueError("n_hash must be in 1..8")
+    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    eval_grams = (
+        shingles(docs.join(F.broadcast(eval_ids), "doc_id"), k)
+        .select("shingle")
+        .distinct()
+    )
+    h = eval_grams.withColumn("mh", F.md5("shingle")).select(
+        F.conv(F.substring("mh", 1, 13), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("mh", 14, 13), 16, 10).cast("long").alias("h2"),
+    )
+    word_rows = (
+        h.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_hash - 1))).alias("i"),
+            "h1",
+            "h2",
+        )
+        .select(((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("p"))
+        .select(
+            F.expr("cast(p div 32 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()  # bounded by the CONSTANT m_bits/32, never by data
+    )
+    words = [0] * (m_bits // 32)
+    for r in word_rows:
+        words[r["w"]] = r["word"]
+
+    probe = (
+        shingles(docs, k)
+        .join(F.broadcast(eval_ids), "doc_id", "left_anti")
+        .withColumn("mh", F.md5("shingle"))
+        .withColumn("h1", F.conv(F.substring("mh", 1, 13), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("mh", 14, 13), 16, 10).cast("long"))
+        .withColumn("bloom", F.lit(words).cast("array<bigint>"))
+        .withColumn(
+            "hit",
+            F.expr(
+                f"forall(sequence(0, {n_hash - 1}), i -> "
+                f"(element_at(bloom, cast(((h1 + i * h2) % {m_bits}) div 32 as int) + 1)"
+                f" & shiftleft(1L, cast(((h1 + i * h2) % {m_bits}) % 32 as int))) != 0)"
+            ),
+        )
+    )
+    hits = probe.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.col("hit").cast("long")).cast("long").alias("n_hits"),
+    )
+    rest = docs.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    return (
+        rest.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

@@ -306,3 +306,72 @@ def test_pack_sequences_invariants(spark):
             assert r["last_bin"] == (r["start_tok"] + r["n_tokens"] - 1) // 16
             assert r["first_bin"] <= r["last_bin"]
             run += r["n_tokens"]
+
+
+def test_bloom_decontaminate_semantics_and_superset(spark):
+    """Bloom verdicts: same hand-checked corpus as decontaminate — the
+    leaking doc is flagged; and corpus-wide the bloom has NO false
+    negatives (exact-contaminated => bloom-contaminated)."""
+    from learnhtml_spark.functions.chunking import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, bench_text, "en", "a"),
+        (2, "totally unrelated words here today okay", "en", "a"),
+        (3, bench_text + " extra tail words", "en", "b"),
+        (4, "quick brown fox to be or not to be", "en", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(df, eval_n=1, k=5).collect()
+    }
+    assert set(got) == {2, 3, 4}
+    assert got[3]["contaminated"] and got[3]["n_hits"] > 0
+    assert got[3]["n_grams"] >= got[3]["n_hits"]
+
+    exact = {r["doc_id"]: r["contaminated"] for r in decontaminate(df, eval_n=1, k=5).collect()}
+    bloom = {r["doc_id"]: r["contaminated"] for r in got.values()}
+    for d, c in exact.items():
+        if c:
+            assert bloom[d], f"bloom false negative on doc {d}"
+
+
+def test_bloom_decontaminate_probe_side_is_joinless(spark):
+    """The bitmap is a plan literal: the corpus probe must not join a
+    bloom-word table — the only joins in the plan are the broadcast
+    eval-id anti/semi joins and the zero-hit restore."""
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
+
+    rows = [(i, f"word{i} common text body here {i}", "en", "a") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+    out = bloom_decontaminate(df, eval_n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only shuffle join is the zero-hit restore on doc_id (both
+    # sides per-doc at scale — correctly NOT broadcast); the probe
+    # itself joins nothing: the bitmap ran eagerly at build time and
+    # appears only as an element_at against an array literal
+    assert plan.count("SortMergeJoin") <= 1
+    assert "bit_or" not in plan
+    assert "element_at" in plan
+
+
+def test_bloom_decontaminate_validates_params(spark):
+    import pytest as _pytest
+
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
+
+    df = spark.createDataFrame([(1, "a", "en", "s")],
+                               "doc_id int, text string, lang string, source string")
+    with _pytest.raises(ValueError, match="multiple of 32"):
+        bloom_decontaminate(df, m_bits=100)
+    with _pytest.raises(ValueError, match="n_hash"):
+        bloom_decontaminate(df, n_hash=0)
