@@ -265,3 +265,34 @@ def test_cli_train_nested_cv_score_files(tmp_path):
     assert len(scores) == 2  # 2 of 3 external folds evaluated
     cv = pd.read_csv(str(tmp_path / "out_cv.csv"))
     assert {"candidate", "fold", "f1", "run_nb"} <= set(cv.columns)
+
+
+def test_bucketed_colocated_join_no_exchange(spark, tmp_path):
+    """Catalog-bucketed tables joined on their bucket key must plan a
+    SortMergeJoin with ZERO Exchange — the big×big co-located join shape
+    (sources/bucketed_catalog.py).  Also checks result equality vs a
+    plain join."""
+    from learnhtml_spark.sources.bucketed_catalog import (
+        assert_no_shuffle_join,
+        colocated_join,
+        write_bucketed,
+    )
+
+    docs = spark.range(200).selectExpr(
+        "id as doc_id", "concat('text ', id) as text"
+    )
+    stats = spark.range(150).selectExpr(
+        "id as doc_id", "id * 7 as n_tokens"
+    )
+    try:
+        write_bucketed(docs, "bdocs", n_buckets=4, path=str(tmp_path / "bdocs"))
+        write_bucketed(stats, "bstats", n_buckets=4, path=str(tmp_path / "bstats"))
+        joined = colocated_join(spark, "bdocs", "bstats")
+        plan = assert_no_shuffle_join(joined)
+        assert "SortMergeJoin" in plan
+        got = sorted((r["doc_id"], r["n_tokens"]) for r in joined.collect())
+        want = sorted((i, i * 7) for i in range(150))
+        assert got == want
+    finally:
+        spark.sql("drop table if exists bdocs")
+        spark.sql("drop table if exists bstats")
