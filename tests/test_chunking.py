@@ -375,3 +375,58 @@ def test_bloom_decontaminate_validates_params(spark):
         bloom_decontaminate(df, m_bits=100)
     with _pytest.raises(ValueError, match="n_hash"):
         bloom_decontaminate(df, n_hash=0)
+
+
+def test_bloom_decontaminate_fuzz_matches_python_reference(spark):
+    """Seeded random corpus vs a pure-Python Bloom built with the same
+    md5-half double hashing — verdicts (including any false positives)
+    must agree exactly."""
+    import hashlib
+    import random
+    import re
+
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
+
+    rng = random.Random(77)
+    vocab = ["tok%d" % i for i in range(12)] + ["Mixed", "UP"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_n, k, m, nh = 5, 3, 4096, 3
+
+    def grams(text):
+        t = text.lower().strip(" ")
+        toks = re.split(r"\s+", t) if len(t) else []
+        if not toks:
+            return set()
+        gs = (
+            [" ".join(toks)]
+            if len(toks) < k
+            else [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        )
+        return {g for g in gs if g.strip()}
+
+    def probes(g):
+        mh = hashlib.md5(g.encode()).hexdigest()
+        h1, h2 = int(mh[:13], 16), int(mh[13:26], 16)
+        return [(h1 + i * h2) % m for i in range(nh)]
+
+    bits = set()
+    for d, text in rows[:eval_n]:
+        for g in grams(text):
+            bits.update(probes(g))
+    want = {}
+    for d, text in rows[eval_n:]:
+        gs = grams(text)
+        hits = sum(1 for g in gs if all(p in bits for p in probes(g)))
+        want[d] = (len(gs), hits, hits > 0)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in bloom_decontaminate(
+            df, eval_n=eval_n, k=k, m_bits=m, n_hash=nh
+        ).collect()
+    }
+    assert got == want

@@ -672,3 +672,53 @@ def test_segment_dedup_mega_cluster_linear(spark):
     assert len(rows) == 500
     kept = {r["doc_id"]: r["n_kept"] for r in rows}
     assert kept[0] == 2 and sum(kept.values()) == 2
+
+
+def test_segment_dedup_fuzz_matches_python_reference(spark):
+    """Seeded random corpora (duplicated segments injected across docs,
+    messy whitespace) vs a pure-Python implementation of the same
+    first-occurrence semantics."""
+    import random
+    import re
+
+    from learnhtml_spark.functions.dedup import segment_dedup
+
+    rng = random.Random(41)
+    vocab = ["aa", "Bb", "c", "dd-d", "7", "Xy!"]
+    for seed_round, seg in ((0, 3), (1, 5)):
+        rows = []
+        shared = [rng.choice(vocab) for _ in range(seg)]  # cross-doc dup seed
+        for i in range(40):
+            n = rng.randint(0, 18)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            if rng.random() < 0.5:
+                at = rng.randint(0, max(0, len(toks)))
+                toks[at:at] = shared
+            ws = lambda: rng.choice([" ", "  ", "\t"])
+            rows.append((i, ws().join(toks) if toks else rng.choice(["", " "])))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+            for r in segment_dedup(df, seg_tokens=seg).collect()
+        }
+        # pure-Python reference: same trim-spaces-only tokenization,
+        # keeper = min (doc_id, seg_id) per lowercased segment
+        segments = []
+        for doc_id, text in rows:
+            t = text.strip(" ")
+            toks = re.split(r"\s+", t) if len(t) else []
+            for sid, s in enumerate(range(0, len(toks), seg)):
+                segments.append((doc_id, sid, " ".join(toks[s : s + seg])))
+        keeper = {}
+        for doc_id, sid, st_ in segments:
+            k = st_.lower()
+            if k not in keeper or (doc_id, sid) < keeper[k]:
+                keeper[k] = (doc_id, sid)
+        want = {}
+        for doc_id, sid, st_ in segments:
+            n_segs, n_kept, parts = want.get(doc_id, (0, 0, []))
+            keep = keeper[st_.lower()] == (doc_id, sid)
+            parts = parts + ([st_] if keep else [])
+            want[doc_id] = (n_segs + 1, n_kept + int(keep), parts)
+        want = {d: (a, b, " ".join(p)) for d, (a, b, p) in want.items()}
+        assert got == want, seed_round
