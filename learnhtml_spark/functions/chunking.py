@@ -222,6 +222,7 @@ def bloom_decontaminate(
     k: int = 5,
     m_bits: int = 32768,
     n_hash: int = 3,
+    bitmap_mode: str = "auto",
 ) -> DataFrame:
     """(doc_id, n_grams, n_hits, contaminated) — benchmark
     decontamination through a BIT-EXACT Bloom filter instead of the
@@ -245,12 +246,28 @@ def bloom_decontaminate(
     are the documented price (rate ≈ (set_bits/m)^n_hash); eval docs
     are excluded from the output like ``decontaminate``.
 
-    Tuning at scale: m_bits ~ 10 bits/gram keeps FP < 1%; the bitmap
-    literal stays ≤ ~1 GB up to 10^9 eval grams."""
+    Tuning at scale: m_bits ~ 10 bits/gram keeps FP < 1%.  Two probe
+    transports, bit-identical results (equality fuzz-tested):
+
+    - ``bitmap_mode='literal'`` — the word array is a PLAN literal (the
+      LSH-plane-matrix pattern): zero extra machinery, whole plan stays
+      JVM expressions.  Right up to ~2^22 bits (512 KB literal); plans
+      themselves are serialized per task, so a multi-MB literal starts
+      taxing scheduler RPC.
+    - ``bitmap_mode='pandas'`` — the word array rides a Spark BROADCAST
+      variable (torrent-distributed once per executor, NOT per task)
+      into one Arrow-batched ``mapInPandas`` probe.  This is the
+      10^8-gram / multi-GB-bitmap transport; the Python md5 probe is
+      the price, vectorized per batch.
+    - ``'auto'`` picks literal below 2^22 bits, pandas above."""
     if m_bits <= 0 or m_bits % 32 != 0:
         raise ValueError("m_bits must be a positive multiple of 32")
     if n_hash <= 0 or n_hash > 8:
         raise ValueError("n_hash must be in 1..8")
+    if bitmap_mode not in ("auto", "literal", "pandas"):
+        raise ValueError("bitmap_mode must be auto|literal|pandas")
+    if bitmap_mode == "auto":
+        bitmap_mode = "literal" if m_bits <= (1 << 22) else "pandas"
     eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
     eval_grams = (
         shingles(docs.join(F.broadcast(eval_ids), "doc_id"), k)
@@ -280,22 +297,24 @@ def bloom_decontaminate(
     for r in word_rows:
         words[r["w"]] = r["word"]
 
-    probe = (
-        shingles(docs, k)
-        .join(F.broadcast(eval_ids), "doc_id", "left_anti")
-        .withColumn("mh", F.md5("shingle"))
-        .withColumn("h1", F.conv(F.substring("mh", 1, 13), 16, 10).cast("long"))
-        .withColumn("h2", F.conv(F.substring("mh", 14, 13), 16, 10).cast("long"))
-        .withColumn("bloom", F.lit(words).cast("array<bigint>"))
-        .withColumn(
-            "hit",
-            F.expr(
-                f"forall(sequence(0, {n_hash - 1}), i -> "
-                f"(element_at(bloom, cast(((h1 + i * h2) % {m_bits}) div 32 as int) + 1)"
-                f" & shiftleft(1L, cast(((h1 + i * h2) % {m_bits}) % 32 as int))) != 0)"
-            ),
+    corpus_sh = shingles(docs, k).join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    if bitmap_mode == "literal":
+        probe = (
+            corpus_sh.withColumn("mh", F.md5("shingle"))
+            .withColumn("h1", F.conv(F.substring("mh", 1, 13), 16, 10).cast("long"))
+            .withColumn("h2", F.conv(F.substring("mh", 14, 13), 16, 10).cast("long"))
+            .withColumn("bloom", F.lit(words).cast("array<bigint>"))
+            .withColumn(
+                "hit",
+                F.expr(
+                    f"forall(sequence(0, {n_hash - 1}), i -> "
+                    f"(element_at(bloom, cast(((h1 + i * h2) % {m_bits}) div 32 as int) + 1)"
+                    f" & shiftleft(1L, cast(((h1 + i * h2) % {m_bits}) % 32 as int))) != 0)"
+                ),
+            )
         )
-    )
+    else:
+        probe = _bloom_probe_pandas(corpus_sh, words, m_bits, n_hash)
     hits = probe.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
         F.sum(F.col("hit").cast("long")).cast("long").alias("n_hits"),
@@ -310,4 +329,42 @@ def bloom_decontaminate(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def _bloom_probe_pandas(corpus_sh: DataFrame, words, m_bits: int, n_hash: int) -> DataFrame:
+    """(doc_id, hit) via a broadcast numpy bitmap probed in one
+    Arrow-batched ``mapInPandas`` — the multi-GB-bitmap transport of
+    ``bloom_decontaminate``.  Hash arithmetic mirrors the JVM path
+    exactly: md5-half int64 double hashing, all integer ops (values
+    < 2^53, exact in int64)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus_sh.sparkSession.sparkContext.broadcast(
+        np.array(words, dtype=np.int64)
+    )
+
+    def run(batches):
+        bitmap = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            h1 = np.empty(n, dtype=np.int64)
+            h2 = np.empty(n, dtype=np.int64)
+            for j, s in enumerate(pdf["shingle"].astype(str)):
+                mh = hashlib.md5(s.encode("utf-8")).hexdigest()
+                h1[j] = int(mh[:13], 16)
+                h2[j] = int(mh[13:26], 16)
+            hit = np.ones(n, dtype=bool)
+            for i in range(n_hash):
+                p = (h1 + i * h2) % m_bits
+                hit &= (bitmap[p // 32] & (np.int64(1) << (p % 32))) != 0
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hit": hit})
+
+    return corpus_sh.select("doc_id", "shingle").mapInPandas(
+        run, schema="doc_id long, hit boolean"
     )

@@ -430,3 +430,25 @@ def test_bloom_decontaminate_fuzz_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bloom_decontaminate_pandas_transport_matches_literal(spark):
+    """The broadcast-numpy mapInPandas probe (the multi-GB-bitmap
+    transport) must be bit-identical to the plan-literal JVM probe."""
+    import random
+
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
+
+    rng = random.Random(13)
+    vocab = ["t%d" % i for i in range(10)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(eval_n=4, k=3, m_bits=2048, n_hash=3)
+    lit = sorted(tuple(r) for r in bloom_decontaminate(df, bitmap_mode="literal", **kw).collect())
+    pan = sorted(tuple(r) for r in bloom_decontaminate(df, bitmap_mode="pandas", **kw).collect())
+    assert lit == pan
+    with __import__("pytest").raises(ValueError, match="bitmap_mode"):
+        bloom_decontaminate(df, bitmap_mode="nope")
