@@ -63,11 +63,13 @@ def build_docs_10x(spark):
 def main():
     import bench
 
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
     from learnhtml_spark.functions.dedup import (
         dup_clusters,
         minhash_lsh_candidates,
         neardup_groups,
         neardup_pairs,
+        segment_dedup,
     )
 
     spark = bench.make_session(CPUS)
@@ -81,6 +83,8 @@ def main():
         "neardup_pipe": lambda d: neardup_pairs(d, threshold=0.4),
         "neardup_groups": lambda d: neardup_groups(d),
         "dup_clusters": lambda d: dup_clusters(d),
+        "segment_dedup": lambda d: segment_dedup(d),
+        "bloom_decontaminate": lambda d: bloom_decontaminate(d),
     }
     out = {"cpus": CPUS, "points": {}}
     # warm once (codegen + python workers)
