@@ -205,6 +205,14 @@ def q_neardup_groups(spark, sf_dir):
     return neardup_groups(_docs(spark, sf_dir))
 
 
+def q_neardup_clean(spark, sf_dir):
+    # the cleaned corpus a training run consumes: one-hop near-dup
+    # keepers only; shingle-less docs trivially kept
+    from learnhtml_spark.functions.dedup import neardup_clean
+
+    return neardup_clean(_docs(spark, sf_dir))
+
+
 def q_dup_clusters(spark, sf_dir):
     # transitive near-dup components: iterative min-label propagation over
     # per-band-group star edges (one shuffle join + min agg per round,
@@ -681,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "neardup_pipe": q_neardup_pipe,
         "neardup_groups": q_neardup_groups,
+        "neardup_clean": q_neardup_clean,
         "dup_clusters": q_dup_clusters,
         "gopher_quality": q_gopher_quality,
         "neardup_stream": q_neardup_stream,
@@ -914,6 +923,22 @@ select doc_id, min(grp_min) as keep_doc_id,
 from m group by doc_id
 """
 
+# cleaned-corpus composition (dedup.neardup_clean): documents whose
+# one-hop keeper is themselves; shingle-less docs never reach a band
+# group and are kept
+_NEARDUP_CLEAN_SQL = _MINHASH_CTES + r""",
+m as (
+  select doc_id, min(doc_id) over (partition by band, band_sig) as grp_min
+  from bands
+),
+dup as (
+  select doc_id from m group by doc_id having min(grp_min) <> doc_id
+)
+select d.doc_id, d.lang, d.source, cast(d.n_chars as bigint) as n_chars
+from documents d
+where d.doc_id not in (select doc_id from dup)
+"""
+
 # batch keeper-edge form (dedup.neardup_groups): identical one-hop-keeper
 # semantics to the streaming replay oracle — O(m) per band group, the
 # scale-default output of LSH dedup (uncapped: no pair blowup to cap).
@@ -982,6 +1007,7 @@ _MINHASH_SQL = _sub_mh(_MINHASH_SQL)
 _NEARDUP_PIPE_SQL = _sub_mh(_NEARDUP_PIPE_SQL)
 _NEARDUP_STREAM_SQL = _sub_mh(_NEARDUP_STREAM_SQL)
 _NEARDUP_GROUPS_SQL = _sub_mh(_NEARDUP_GROUPS_SQL)
+_NEARDUP_CLEAN_SQL = _sub_mh(_NEARDUP_CLEAN_SQL)
 _DUP_CLUSTERS_SQL = _sub_mh(_DUP_CLUSTERS_SQL)
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
@@ -1621,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _MINHASH_SQL,
         "neardup_pipe": _NEARDUP_PIPE_SQL,
         "neardup_groups": _NEARDUP_GROUPS_SQL,
+        "neardup_clean": _NEARDUP_CLEAN_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "gopher_quality": _GOPHER_SQL,
         "neardup_stream": _NEARDUP_STREAM_SQL,

@@ -297,6 +297,33 @@ def neardup_groups(
     )
 
 
+def neardup_clean(
+    docs: DataFrame, num_hashes: int = 16, band_size: int = 4, k: int = 3
+) -> DataFrame:
+    """The CLEANED corpus — what a training run actually consumes:
+    (doc_id, lang, source, n_chars) for every document that survives
+    one-hop LSH near-dup removal (``neardup_groups`` keeper == self).
+    Documents that emit no shingles (empty/whitespace text) never enter
+    a band group, are trivially unique, and are KEPT.
+
+    Scale shape: the duplicate-id set is per-doc sized, so the removal
+    is a doc_id equi-anti-join (AQE broadcasts it when small, shuffles
+    on the high-cardinality doc_id otherwise) — never a filter through
+    a collected list.  Everything upstream inherits the O(m)-per-group
+    keeper-edge bound of ``neardup_groups``."""
+    dup_ids = (
+        neardup_groups(docs, num_hashes, band_size, k)
+        .filter(F.col("is_duplicate"))
+        .select("doc_id")
+    )
+    n_chars = (
+        F.col("n_chars") if "n_chars" in docs.columns else F.length("text")
+    )
+    return docs.join(dup_ids, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", n_chars.cast("long").alias("n_chars")
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     num_hashes: int = 16,

@@ -40,6 +40,7 @@ NOTES = {
     "dedup_stream": "plan shown is the batch read of the stream's sink; the streaming plan is scan -> applyInPandasWithState (state store keyed by fp) -> sink",
     "segment_dedup": "C4-style: narrow segmentation (tokenize -> posexplode -> slice) -> min-window on seg_key (O(m) per boilerplate cluster, no pairs) -> per-doc reassembly agg",
     "bloom_decontaminate": "constant-size Bloom bitmap as a plan literal (built eagerly from the eval side) -> fully narrow md5+mod probe (no bloom join) -> per-doc agg + zero-hit restore join",
+    "neardup_clean": "cleaned-corpus composition: keeper-edge verdicts -> duplicate-id anti-join on high-cardinality doc_id (AQE-sided)",
 }
 
 

@@ -722,3 +722,19 @@ def test_segment_dedup_fuzz_matches_python_reference(spark):
             want[doc_id] = (n_segs + 1, n_kept + int(keep), parts)
         want = {d: (a, b, " ".join(p)) for d, (a, b, p) in want.items()}
         assert got == want, seed_round
+
+
+def test_neardup_clean_keeps_keepers_and_empty_docs(docs):
+    """neardup_clean = corpus minus one-hop duplicates; the empty doc
+    (no shingles, no bands) must survive."""
+    from learnhtml_spark.functions.dedup import neardup_clean, neardup_groups
+
+    kept = {r["doc_id"] for r in neardup_clean(docs).collect()}
+    verdict = {
+        r["doc_id"]: r["is_duplicate"] for r in neardup_groups(docs).collect()
+    }
+    # every surviving banded doc is its own keeper; every dup is gone
+    for d, is_dup in verdict.items():
+        assert (d in kept) == (not is_dup)
+    assert 5 in kept  # empty doc never banded, trivially unique
+    assert 1 in kept and 2 not in kept  # exact dup pair keeps the min id
