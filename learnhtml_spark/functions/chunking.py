@@ -223,6 +223,7 @@ def bloom_decontaminate(
     m_bits: int = 32768,
     n_hash: int = 3,
     bitmap_mode: str = "auto",
+    bitmap=None,
 ) -> DataFrame:
     """(doc_id, n_grams, n_hits, contaminated) — benchmark
     decontamination through a BIT-EXACT Bloom filter instead of the
@@ -259,7 +260,13 @@ def bloom_decontaminate(
       into one Arrow-batched ``mapInPandas`` probe.  This is the
       10^8-gram / multi-GB-bitmap transport; the Python md5 probe is
       the price, vectorized per batch.
-    - ``'auto'`` picks literal below 2^22 bits, pandas above."""
+    - ``'auto'`` picks literal below 2^22 bits, pandas above.
+
+    Serving mode: pass ``bitmap`` (the word array from
+    ``scripts/fit_bloom.py``, the IVF/PCA offline-artifact pattern) to
+    skip the eval-side build entirely — the benchmark then lives
+    OUTSIDE the corpus, so no documents are excluded and every corpus
+    doc gets a verdict."""
     if m_bits <= 0 or m_bits % 32 != 0:
         raise ValueError("m_bits must be a positive multiple of 32")
     if n_hash <= 0 or n_hash > 8:
@@ -268,36 +275,47 @@ def bloom_decontaminate(
         raise ValueError("bitmap_mode must be auto|literal|pandas")
     if bitmap_mode == "auto":
         bitmap_mode = "literal" if m_bits <= (1 << 22) else "pandas"
-    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
-    eval_grams = (
-        shingles(docs.join(F.broadcast(eval_ids), "doc_id"), k)
-        .select("shingle")
-        .distinct()
-    )
-    h = eval_grams.withColumn("mh", F.md5("shingle")).select(
-        F.conv(F.substring("mh", 1, 13), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("mh", 14, 13), 16, 10).cast("long").alias("h2"),
-    )
-    word_rows = (
-        h.select(
-            F.explode(F.sequence(F.lit(0), F.lit(n_hash - 1))).alias("i"),
-            "h1",
-            "h2",
+    if bitmap is not None:
+        words = [int(w) for w in bitmap]
+        if len(words) != m_bits // 32:
+            raise ValueError(
+                f"bitmap has {len(words)} words, expected {m_bits // 32} "
+                f"for m_bits={m_bits}"
+            )
+        eval_ids = None
+        corpus_sh = shingles(docs, k)
+    else:
+        eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+        eval_grams = (
+            shingles(docs.join(F.broadcast(eval_ids), "doc_id"), k)
+            .select("shingle")
+            .distinct()
         )
-        .select(((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("p"))
-        .select(
-            F.expr("cast(p div 32 as int)").alias("w"),
-            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("b"),
+        h = eval_grams.withColumn("mh", F.md5("shingle")).select(
+            F.conv(F.substring("mh", 1, 13), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("mh", 14, 13), 16, 10).cast("long").alias("h2"),
         )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("word"))
-        .collect()  # bounded by the CONSTANT m_bits/32, never by data
-    )
-    words = [0] * (m_bits // 32)
-    for r in word_rows:
-        words[r["w"]] = r["word"]
-
-    corpus_sh = shingles(docs, k).join(F.broadcast(eval_ids), "doc_id", "left_anti")
+        word_rows = (
+            h.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n_hash - 1))).alias("i"),
+                "h1",
+                "h2",
+            )
+            .select(((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("p"))
+            .select(
+                F.expr("cast(p div 32 as int)").alias("w"),
+                F.expr("shiftleft(1L, cast(p % 32 as int))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("word"))
+            .collect()  # bounded by the CONSTANT m_bits/32, never by data
+        )
+        words = [0] * (m_bits // 32)
+        for r in word_rows:
+            words[r["w"]] = r["word"]
+        corpus_sh = shingles(docs, k).join(
+            F.broadcast(eval_ids), "doc_id", "left_anti"
+        )
     if bitmap_mode == "literal":
         probe = (
             corpus_sh.withColumn("mh", F.md5("shingle"))
@@ -319,7 +337,11 @@ def bloom_decontaminate(
         F.count("*").cast("long").alias("n_grams"),
         F.sum(F.col("hit").cast("long")).cast("long").alias("n_hits"),
     )
-    rest = docs.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    rest = (
+        docs
+        if eval_ids is None
+        else docs.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    )
     return (
         rest.select("doc_id")
         .join(hits, "doc_id", "left")

@@ -452,3 +452,47 @@ def test_bloom_decontaminate_pandas_transport_matches_literal(spark):
     assert lit == pan
     with __import__("pytest").raises(ValueError, match="bitmap_mode"):
         bloom_decontaminate(df, bitmap_mode="nope")
+
+
+def test_bloom_serving_artifact_equals_inline_build(spark):
+    """Offline-fitted bitmap (scripts/fit_bloom.py) served via
+    ``bitmap=`` must reproduce the inline eval-build verdicts exactly:
+    fit on the eval docs, probe the remaining corpus, compare with the
+    self-referential inline mode on the full table."""
+    import os
+    import random
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from fit_bloom import fit_bloom
+
+    from learnhtml_spark.functions.chunking import bloom_decontaminate
+
+    rng = random.Random(99)
+    vocab = ["w%d" % i for i in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 22))))
+        for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_n, k, m, nh = 6, 3, 2048, 3
+
+    inline = sorted(
+        tuple(r)
+        for r in bloom_decontaminate(
+            df, eval_n=eval_n, k=k, m_bits=m, n_hash=nh
+        ).collect()
+    )
+    words, _ = fit_bloom([t for _, t in rows[:eval_n]], k, m, nh)
+    corpus = spark.createDataFrame(rows[eval_n:], "doc_id long, text string")
+    served = sorted(
+        tuple(r)
+        for r in bloom_decontaminate(
+            corpus, k=k, m_bits=m, n_hash=nh, bitmap=words
+        ).collect()
+    )
+    assert served == inline
+    with __import__("pytest").raises(ValueError, match="bitmap has"):
+        bloom_decontaminate(corpus, m_bits=m, bitmap=words[:-1])
