@@ -21,8 +21,6 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 ARTIFACT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "learnhtml_spark",
@@ -50,17 +48,19 @@ def gram_probes(g: str, m_bits: int, n_hash: int):
     return [(h1 + i * h2) % m_bits for i in range(n_hash)]
 
 
-def fit_bloom(texts, k: int, m_bits: int, n_hash: int) -> np.ndarray:
-    """int64 word array (m_bits/32 words, 32 bits used per word) with
-    every gram of every text folded in."""
+def fit_bloom(texts, k: int, m_bits: int, n_hash: int):
+    """(words, n_distinct_grams): int64 word array (m_bits/32 words, 32
+    bits used per word) with every DISTINCT gram across all texts
+    folded in, plus the distinct-gram count (the number the 'm_bits ~
+    10 bits/gram' sizing rule applies to)."""
     words = np.zeros(m_bits // 32, dtype=np.int64)
-    n_grams = 0
+    grams = set()
     for text in texts:
-        for g in text_grams(text, k):
-            n_grams += 1
-            for p in gram_probes(g, m_bits, n_hash):
-                words[p // 32] |= np.int64(1) << (p % 32)
-    return words, n_grams
+        grams |= text_grams(text, k)
+    for g in grams:
+        for p in gram_probes(g, m_bits, n_hash):
+            words[p // 32] |= np.int64(1) << (p % 32)
+    return words, len(grams)
 
 
 def main():
