@@ -176,6 +176,13 @@ def q_dup_stats(spark, sf_dir):
     return dup_stats(_docs(spark, sf_dir))
 
 
+def q_dup_rate_by_source(spark, sf_dir):
+    # per-source exact-duplicate pressure: which feed floods the corpus
+    from learnhtml_spark.functions.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(_docs(spark, sf_dir))
+
+
 def q_segment_dedup(spark, sf_dir):
     # C4-style segment-level dedup: first corpus-wide occurrence of each
     # 10-token segment survives, documents reassembled in order
@@ -683,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "dup_stats": q_dup_stats,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "segment_dedup": q_segment_dedup,
         "dedup_stream": q_dedup_stream,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1633,6 +1641,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) as dup_count from documents group by 1) "
             "select dup_count, count(*) as n_groups, "
             "count(*) * dup_count as n_docs from g group by dup_count"
+        ),
+        "dup_rate_by_source": (
+            "with g as (select source, "
+            "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp "
+            "from documents) "
+            "select source, cast(count(*) as bigint) as n_docs, "
+            "cast(count(distinct fp) as bigint) as n_distinct, "
+            "round(1.0 - count(distinct fp) / count(*), 6) as dup_rate "
+            "from g group by source"
         ),
         "dedup_stream": (
             "with fps as (select doc_id, "

@@ -43,6 +43,28 @@ def dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_distinct, dup_rate): exact-duplicate pressure
+    per crawl source — the diagnostic that tells a pipeline operator
+    WHICH feed is flooding the corpus with boilerplate copies.
+    ``dup_rate = 1 - n_distinct/n_docs`` over the same normalized-text
+    fingerprint ``exact_dedup`` keys on.
+
+    Scale: one aggregate on (source, fp) pairs — ``countDistinct``
+    plans the standard two-phase distinct aggregate, partials combined
+    map-side; at 10^12 rows swap in ``approx_count_distinct`` (HLL,
+    one pass, ~2% error) exactly as documented for
+    ``source_quantiles``'s exact/approx pairing."""
+    fp = fingerprint(docs, keep=("source",))
+    return fp.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def _shingle_array(docs: DataFrame, k: int = 3):
     """Column expr: distinct word k-gram shingles of ``text`` (array).
 

@@ -115,12 +115,17 @@ def grouped_shuffle(df: DataFrame, group_col: str = "doc_id", seed: int = 42) ->
     return df.repartition(F.col(group_col)).sortWithinPartitions(h, F.col(group_col))
 
 
-def fingerprint(docs: DataFrame) -> DataFrame:
+def fingerprint(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
-    text (kernel F1-style normalization, exact-dup key)."""
+    text (kernel F1-style normalization, exact-dup key).  ``keep`` names
+    extra input columns to carry through (so callers never re-derive the
+    normalization and drift)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select(
-        "doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len")
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+        *[F.col(c) for c in keep],
     )
 
 

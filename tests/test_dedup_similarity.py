@@ -738,3 +738,19 @@ def test_neardup_clean_keeps_keepers_and_empty_docs(docs):
         assert (d in kept) == (not is_dup)
     assert 5 in kept  # empty doc never banded, trivially unique
     assert 1 in kept and 2 not in kept  # exact dup pair keeps the min id
+
+
+def test_dup_rate_by_source_hand_checked(docs):
+    """Fixture: source 'a' holds the exact-dup pair (docs 1,2) ->
+    dup_rate 0.5; sources 'b' and 'c' are all-distinct -> 0.0."""
+    from learnhtml_spark.functions.dedup import dup_rate_by_source
+
+    out = {
+        r["source"]: (r["n_docs"], r["n_distinct"], r["dup_rate"])
+        for r in dup_rate_by_source(docs).collect()
+    }
+    assert out == {
+        "a": (2, 1, 0.5),
+        "b": (2, 2, 0.0),
+        "c": (1, 1, 0.0),
+    }
