@@ -183,6 +183,20 @@ def q_dup_rate_by_source(spark, sf_dir):
     return dup_rate_by_source(_docs(spark, sf_dir))
 
 
+def q_source_overlap(spark, sf_dir):
+    # shingle-level content overlap between crawl sources (mirror feeds)
+    from learnhtml_spark.functions.dedup import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir))
+
+
+def q_unigram_lm(spark, sf_dir):
+    # CCNet-style unigram-LM quality score (log-free ppm form)
+    from learnhtml_spark.functions.textstats import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_segment_dedup(spark, sf_dir):
     # C4-style segment-level dedup: first corpus-wide occurrence of each
     # 10-token segment survives, documents reassembled in order
@@ -691,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "dup_stats": q_dup_stats,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "source_overlap": q_source_overlap,
+        "unigram_lm": q_unigram_lm,
         "segment_dedup": q_segment_dedup,
         "dedup_stream": q_dedup_stream,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1650,6 +1666,53 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(distinct fp) as bigint) as n_distinct, "
             "round(1.0 - count(distinct fp) / count(*), 6) as dup_rate "
             "from g group by source"
+        ),
+        "source_overlap": (
+            "with toks as (select source, "
+            "case when length(trim(text)) = 0 then cast([] as varchar[]) "
+            "else regexp_split_to_array(lower(trim(text)), '\\s+') end as t "
+            "from documents), "
+            "sh0 as (select source, unnest(list_distinct(list_filter("
+            "case when len(t) < 3 then [array_to_string(t, ' ')] "
+            "else list_transform(range(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) end, "
+            "s -> trim(s) <> ''))) as shingle from toks), "
+            "sh as (select distinct source, shingle from sh0), "
+            "per as (select source, cast(count(*) as bigint) as n_sh "
+            "from sh group by source), "
+            "c as (select a.source as source_a, b.source as source_b, "
+            "cast(count(*) as bigint) as n_common "
+            "from sh a join sh b on a.shingle = b.shingle "
+            "and a.source < b.source group by 1, 2) "
+            "select c.source_a, c.source_b, c.n_common, "
+            "pa.n_sh as n_a, pb.n_sh as n_b, "
+            "round(cast(c.n_common as double) "
+            "/ cast(least(pa.n_sh, pb.n_sh) as double), 6) as overlap_coef "
+            "from c join per pa on c.source_a = pa.source "
+            "join per pb on c.source_b = pb.source"
+        ),
+        "unigram_lm": (
+            "with toks as (select doc_id, "
+            "case when length(trim(text)) = 0 then cast([] as varchar[]) "
+            "else regexp_split_to_array(lower(trim(text)), '\\s+') end as t "
+            "from documents), "
+            "tf as (select doc_id, tok, count(*) as cnt "
+            "from (select doc_id, unnest(t) as tok from toks) "
+            "where tok <> '' group by doc_id, tok), "
+            "gl as (select tok, cast(sum(cnt) as bigint) as gcnt "
+            "from tf group by tok), "
+            "tot as (select cast(sum(gcnt) as bigint) as total from gl), "
+            "per as (select tf.doc_id, "
+            "cast(sum(tf.cnt) as bigint) as n_tokens, "
+            "cast(sum(tf.cnt * gl.gcnt) as bigint) as s "
+            "from tf join gl using (tok) group by tf.doc_id) "
+            "select d.doc_id, "
+            "cast(coalesce(per.n_tokens, 0) as bigint) as n_tokens, "
+            "coalesce(round(cast(per.s as double) * 1000000.0 "
+            "/ cast(per.n_tokens as double) / cast(tot.total as double), 6), "
+            "0e0) as mean_tok_ppm "
+            "from documents d cross join tot "
+            "left join per on d.doc_id = per.doc_id"
         ),
         "dedup_stream": (
             "with fps as (select doc_id, "

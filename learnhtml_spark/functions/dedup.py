@@ -65,6 +65,59 @@ def dup_rate_by_source(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_overlap(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(source_a, source_b, n_common, n_a, n_b, overlap_coef): content
+    overlap between crawl sources, measured on distinct word ``k``-gram
+    shingles — the "are these two feeds mirroring each other?" diagnostic
+    that decides whether cross-source near-dedup is worth running at all.
+    ``overlap_coef = n_common / min(n_a, n_b)`` (Szymkiewicz–Simpson:
+    1.0 means the smaller feed's content is wholly contained in the
+    larger's).  Shares ``_shingle_array``'s normalization with the whole
+    MinHash family so the numbers compose with ``neardup_*``.
+
+    Scale shape: the distinct (source, shingle) projection is one
+    map-side-combined aggregate; the shingle self-join fans out at most
+    ``n_sources²`` pairs PER GRAM (source cardinality — thousands of
+    feeds, not corpus size — bounds every group, unlike the per-doc LSH
+    band join this is deliberately not).  The per-source counts table is
+    ``n_sources`` rows — genuinely broadcast-sized at any corpus scale.
+    Output is at most ``n_sources²/2`` rows."""
+    sh = docs.select(
+        "source", F.explode(_shingle_array(docs, k)).alias("shingle")
+    ).distinct()
+    per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        common.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
 def _shingle_array(docs: DataFrame, k: int = 3):
     """Column expr: distinct word k-gram shingles of ``text`` (array).
 

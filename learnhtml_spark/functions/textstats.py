@@ -231,3 +231,69 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
         F.size(tokens(F.col("text"))).cast("long").alias("token_count"),
         bpe.alias("bpe_count"),
     )
+
+
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_tok_ppm): the CCNet-style unigram language
+    -model quality signal — how "ordinary" a document's vocabulary is
+    under the corpus's own unigram distribution.  ``mean_tok_ppm`` is the
+    frequency-weighted mean corpus frequency of the document's tokens, in
+    parts-per-million: stop-wordy boilerplate scores high, rare-token
+    gibberish (mojibake, hashes, base64 blobs) scores low — the same
+    ranking CCNet's wikipedia-LM perplexity filter produces, in a
+    LOG-FREE form.
+
+    Log-free on purpose (the ``tfidf_topk`` precedent): a true mean
+    log-prob sums ``ln()`` values whose cross-engine bit patterns and
+    addition order differ, breaking the driver's round(…,6) value hash.
+    Here the numerator ``sum(cnt·gcnt)`` and both denominators are exact
+    int64 aggregates; one canonical double expression
+    ``s·10⁶ / n / total`` (identical association in the SQL oracle)
+    produces bit-equal output.
+
+    Plan shape (scale-reviewed): token counts and the vocabulary rollup
+    are two map-side-combined hash aggregates; vocabulary joins back on
+    ``tok`` (AQE-sized — vocab ≪ corpus); the corpus total arrives as a
+    broadcast one-row cross join, never a driver action; the final
+    left join restores empty docs.  No windows, no Python, no collect.
+    At 10^12 docs ``sum(cnt·gcnt)`` can exceed int64 — production casts
+    the product to double (the test-scale int64 keeps the oracle
+    bit-exact)."""
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gl = tf.groupBy("tok").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    total = gl.agg(F.sum("gcnt").cast("long").alias("total"))
+    per = (
+        tf.join(gl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("gcnt")).cast("long").alias("s"),
+        )
+    )
+    scored = per.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double")
+            * 1000000.0
+            / F.col("n_tokens").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("mean_tok_ppm"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("mean_tok_ppm", F.lit(0.0)).alias("mean_tok_ppm"),
+        )
+    )

@@ -754,3 +754,43 @@ def test_dup_rate_by_source_hand_checked(docs):
         "b": (2, 2, 0.0),
         "c": (1, 1, 0.0),
     }
+
+
+def test_source_overlap_hand_checked(spark):
+    """Shingle k=3: sources a/b share exactly one gram ('w2 w3 w4');
+    within-source duplication must not inflate n_a; zero-overlap pairs
+    are absent (inner-join semantics)."""
+    from learnhtml_spark.functions.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4", "a"),
+            (4, "w1 w2 w3 w4", "a"),  # exact dup: distinct grams, same set
+            (2, "w2 w3 w4 w5", "b"),
+            (3, "x y z", "c"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): (
+            r["n_common"], r["n_a"], r["n_b"], r["overlap_coef"]
+        )
+        for r in source_overlap(df).collect()
+    }
+    assert rows == {("a", "b"): (1, 2, 2, 0.5)}
+
+
+def test_unigram_lm_score_hand_checked(spark):
+    """Corpus a:2 b:2 c:1 (total 5); d1 ppm = (2*2+1*2)*1e6/3/5,
+    d2 = (1*2+1*1)*1e6/2/5; empty doc -> (0, 0.0)."""
+    from learnhtml_spark.functions.textstats import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_tok_ppm"])
+        for r in unigram_lm_score(df).collect()
+    }
+    assert out == {1: (3, 400000.0), 2: (2, 300000.0), 3: (0, 0.0)}
