@@ -38,6 +38,9 @@ NOTES = {
     "ann_buckets": "one narrow mapInPandas (plane matrix is a python constant)",
     "token_bpe": "pure narrow plan (regexp_extract_all + aggregate, JVM-side)",
     "dedup_stream": "plan shown is the batch read of the stream's sink; the streaming plan is scan -> applyInPandasWithState (state store keyed by fp) -> sink",
+    "dup_rate_by_source": "one (source, fp) two-phase distinct aggregate, map-side combined",
+    "source_overlap": "distinct (source, shingle) agg computed ONCE (ReuseExchange covers per-source counts + both self-join sides); per-gram fan-out bounded by source cardinality",
+    "unigram_lm": "tf agg computed ONCE (ReuseExchange) -> vocab rollup -> AQE-sized token join; corpus total = broadcast 1-row cross join",
     "segment_dedup": "C4-style: narrow segmentation (tokenize -> posexplode -> slice) -> min-window on seg_key (O(m) per boilerplate cluster, no pairs) -> per-doc reassembly agg",
     "bloom_decontaminate": "constant-size Bloom bitmap as a plan literal (built eagerly from the eval side) -> fully narrow md5+mod probe (no bloom join) -> per-doc agg + zero-hit restore join",
     "neardup_clean": "cleaned-corpus composition: keeper-edge verdicts -> duplicate-id anti-join on high-cardinality doc_id (AQE-sided)",
