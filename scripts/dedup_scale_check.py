@@ -66,11 +66,14 @@ def main():
     from learnhtml_spark.functions.chunking import bloom_decontaminate
     from learnhtml_spark.functions.dedup import (
         dup_clusters,
+        dup_rate_by_source,
         minhash_lsh_candidates,
         neardup_groups,
         neardup_pairs,
         segment_dedup,
+        source_overlap,
     )
+    from learnhtml_spark.functions.textstats import unigram_lm_score
 
     spark = bench.make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,6 +88,9 @@ def main():
         "dup_clusters": lambda d: dup_clusters(d),
         "segment_dedup": lambda d: segment_dedup(d),
         "bloom_decontaminate": lambda d: bloom_decontaminate(d),
+        "dup_rate_by_source": lambda d: dup_rate_by_source(d),
+        "source_overlap": lambda d: source_overlap(d),
+        "unigram_lm": lambda d: unigram_lm_score(d),
     }
     out = {"cpus": CPUS, "points": {}}
     # warm once (codegen + python workers)
