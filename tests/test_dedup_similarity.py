@@ -794,3 +794,24 @@ def test_unigram_lm_score_hand_checked(spark):
         for r in unigram_lm_score(df).collect()
     }
     assert out == {1: (3, 400000.0), 2: (2, 300000.0), 3: (0, 0.0)}
+
+
+def test_source_overlap_single_source_empty(spark):
+    from learnhtml_spark.functions.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4", "a"), (2, "w2 w3 w4 w5", "a")],
+        "doc_id int, text string, source string",
+    )
+    assert source_overlap(df).count() == 0
+
+
+def test_unigram_lm_partitioning_invariant(docs):
+    """Integer numerator/denominators + one canonical double expression:
+    the score is bit-identical regardless of partitioning (the float
+    parity argument the docstring makes, exercised)."""
+    from learnhtml_spark.functions.textstats import unigram_lm_score
+
+    base = sorted(unigram_lm_score(docs).collect())
+    shuffled = sorted(unigram_lm_score(docs.repartition(7)).collect())
+    assert base == shuffled
