@@ -60,6 +60,12 @@ def build_docs_10x(spark):
     return out
 
 
+def _timed(thunk):
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
 def main():
     import bench
 
@@ -98,9 +104,14 @@ def main():
     n1, n10 = d1.count(), d10.count()
     for name, fn in ops.items():
         for tag, df, n in (("1x", d1, n1), ("10x", d10, n10)):
-            t0 = time.time()
-            bench.noop_write(fn(df))
-            w = time.time() - t0
+            # co-tenant steal on this box is bursty (minutes) — time each
+            # point twice and keep the min wall so a single burst cannot
+            # contaminate a ratio (the bench.py probe protocol's cheap
+            # analog for this spot-check harness)
+            w = min(
+                _timed(lambda: bench.noop_write(fn(df)))
+                for _ in range(2)
+            )
             out["points"][f"{name}_{tag}"] = {
                 "docs": n, "wall_s": round(w, 2),
                 "docs_per_sec": round(n / w, 1),
