@@ -692,6 +692,69 @@ def q_topk_docs(spark, sf_dir):
     )
 
 
+def q_asof_events(spark, sf_dir):
+    """As-of join (an operator Spark's DataFrame API lacks): every
+    non-purchase event picks up the user's latest purchase at-or-before
+    its timestamp.  Union-tag + one high-cardinality (user_id) window —
+    ONE shuffle; the oracle is DuckDB's native ASOF JOIN, so the
+    implementation is checked against a first-party as-of engine."""
+    from learnhtml_spark.functions.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    probe = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    j = asof_join(
+        probe, dim, key="user_id", ts="ts",
+        payload_cols=["last_purchase_value"],
+    )
+    # integer-µs difference (unix_micros == DuckDB epoch_us), floor-div
+    # to whole seconds — no float time arithmetic across engines
+    secs = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(_dim_ts as timestamp))) div 1000000"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "last_purchase_value",
+        secs.cast("long").alias("secs_since_purchase"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    # bounded range self-join via the 3-cell bucket replication trick
+    # (burst detection: neighbors of the same user within ±5 min); the
+    # oracle is the plain quadratic inequality join DuckDB can afford at
+    # this scale factor
+    from learnhtml_spark.functions.temporal import range_neighbor_count
+
+    return range_neighbor_count(
+        _events(spark, sf_dir), key="user_id", ts="ts",
+        id_col="event_id", radius_s=300,
+    )
+
+
+def q_fuzzy_decontaminate(spark, sf_dir):
+    # containment-based benchmark decontamination: broadcast per-eval-doc
+    # gram set, one corpus shingle pass, max-containment per doc
+    from learnhtml_spark.functions.chunking import fuzzy_decontaminate
+
+    return fuzzy_decontaminate(_docs(spark, sf_dir), eval_n=20, k=5)
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    # duplicate-cluster size distribution over the transitive components
+    # (two hash aggregates on top of dup_clusters)
+    from learnhtml_spark.functions.dedup import cluster_size_hist
+
+    return cluster_size_hist(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
@@ -744,6 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sibling_pos": q_sibling_pos,
         "group_topk": q_group_topk,
         "topk_docs": q_topk_docs,
+        "asof_events": q_asof_events,
+        "range_join": q_range_join,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "cluster_size_hist": q_cluster_size_hist,
     }
 
 
@@ -1033,6 +1100,85 @@ _NEARDUP_STREAM_SQL = _sub_mh(_NEARDUP_STREAM_SQL)
 _NEARDUP_GROUPS_SQL = _sub_mh(_NEARDUP_GROUPS_SQL)
 _NEARDUP_CLEAN_SQL = _sub_mh(_NEARDUP_CLEAN_SQL)
 _DUP_CLUSTERS_SQL = _sub_mh(_DUP_CLUSTERS_SQL)
+
+# histogram over the transitive components — built on the (already
+# _sub_mh-substituted) dup_clusters query as a subquery, so the two can
+# never drift
+_CLUSTER_SIZE_HIST_SQL = (
+    "select cluster_size, cast(count(*) as bigint) as n_clusters, "
+    "cast(cluster_size * count(*) as bigint) as n_docs from ("
+    "select cluster_id, cast(count(*) as bigint) as cluster_size from ("
+    + _DUP_CLUSTERS_SQL
+    + ") group by cluster_id) group by cluster_size"
+)
+
+# DuckDB's native ASOF JOIN is the oracle for the union-tag window
+# implementation (inclusive >= matching, latest dim row at-or-before)
+_ASOF_SQL = r"""
+with dim as (
+  select user_id, ts, value from events where event_type = 'purchase'
+),
+probe as (
+  select event_id, user_id, ts, event_type
+  from events where event_type <> 'purchase'
+)
+select p.event_id, p.user_id, p.event_type,
+       d.value as last_purchase_value,
+       (epoch_us(p.ts) - epoch_us(d.ts)) // 1000000 as secs_since_purchase
+from probe p asof join dim d
+  on p.user_id = d.user_id and p.ts >= d.ts
+"""
+
+# plain quadratic inequality join — affordable for the oracle at this
+# scale factor; the Spark side uses the 3-cell bucket replication
+_RANGE_JOIN_SQL = r"""
+select e.event_id, cast(count(f.event_id) as bigint) as n_neighbors
+from events e left join events f
+  on e.user_id = f.user_id and f.event_id <> e.event_id
+ and abs(epoch_us(e.ts) - epoch_us(f.ts)) <= 300000000
+group by e.event_id
+"""
+
+_FUZZY_DECON_SQL = r"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+sh5 as (
+  select doc_id, unnest(list_distinct(list_filter(
+    case when len(t) < 5 then [array_to_string(t, ' ')]
+         else list_transform(range(1, len(t) - 3),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) end,
+    s -> trim(s) <> ''))) as shingle
+  from toks
+),
+ev as (select doc_id from documents order by doc_id limit 20),
+eg as (
+  select distinct s.doc_id as eval_id, s.shingle
+  from sh5 s join ev on s.doc_id = ev.doc_id
+),
+cs as (select * from sh5 where doc_id not in (select doc_id from ev)),
+ng as (select doc_id, cast(count(*) as bigint) as n_grams from cs group by doc_id),
+ov as (
+  select cs.doc_id, eg.eval_id, cast(count(*) as bigint) as overlap
+  from cs join eg using (shingle) group by cs.doc_id, eg.eval_id
+),
+best as (
+  select doc_id, eval_id, overlap from (
+    select *, row_number() over (partition by doc_id
+                                 order by overlap desc, eval_id asc) as rn
+    from ov) where rn = 1
+)
+select ng.doc_id, ng.n_grams,
+       cast(coalesce(best.eval_id, -1) as bigint) as best_eval_id,
+       cast(coalesce(best.overlap, 0) as bigint) as overlap,
+       round(coalesce(best.overlap, 0) / cast(ng.n_grams as double), 6)
+         as containment,
+       round(coalesce(best.overlap, 0) / cast(ng.n_grams as double), 6)
+         >= 0.5e0 as flagged
+from ng left join best using (doc_id)
+"""
 
 # mirrors dedup.simhash: all 16 votes folded in ONE group-by, and the
 # final signature cast to bigint explicitly (DuckDB sum() widens to
@@ -1761,6 +1907,10 @@ def oracle_sql() -> dict[str, str]:
         "sibling_pos": _SIBLING_SQL,
         "group_topk": _GROUP_TOPK_SQL,
         "topk_docs": _TOPK_SQL,
+        "asof_events": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
+        "fuzzy_decontaminate": _FUZZY_DECON_SQL,
+        "cluster_size_hist": _CLUSTER_SIZE_HIST_SQL,
         # extract_spans / node_features / label_ratios are the DOM pipeline:
         # not SQL-expressible; golden-tested against the reference's own
         # expectations in tests/ (rows-only check here).

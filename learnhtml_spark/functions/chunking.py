@@ -390,3 +390,72 @@ def _bloom_probe_pandas(corpus_sh: DataFrame, words, m_bits: int, n_hash: int) -
     return corpus_sh.select("doc_id", "shingle").mapInPandas(
         run, schema="doc_id long, hit boolean"
     )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame, eval_n: int = 20, k: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Fuzzy (containment-based) benchmark decontamination — the
+    paraphrase-robust upgrade of ``decontaminate``: a corpus document is
+    flagged when the fraction of its distinct k-gram shingles that occur
+    in ANY single benchmark document (containment = |D ∩ E| / |D|)
+    reaches ``threshold``; exact-substring checks miss near-copies that
+    fuzz a few tokens, containment does not.  Output per non-benchmark
+    doc: (doc_id, n_grams, best_eval_id, overlap, containment, flagged);
+    zero-overlap docs report best_eval_id = -1.  Documents that emit no
+    shingles (empty/whitespace text) have nothing to contain and are
+    omitted (containment is undefined at n_grams = 0).
+
+    Plan shape (100 TB): the per-(eval_doc, gram) set is broadcast (the
+    benchmark side is thousands of docs by construction); the corpus is
+    shingled ONCE — one broadcast join + one (doc, eval) count aggregate
+    + one per-doc max, all keyed on the high-cardinality doc_id.  The
+    containment ratio is a single small-int division, bit-identical in
+    IEEE double across engines.
+
+    Tie-break: at equal containment the smallest eval_id wins (struct
+    min over (-overlap, eval_id) — overlap ties are containment ties,
+    n_grams being per-doc constant)."""
+    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    eval_docs = docs.join(F.broadcast(eval_ids), "doc_id")
+    eval_grams = (
+        shingles(eval_docs, k)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+        .distinct()
+    )
+    corpus_sh = shingles(docs, k).join(
+        F.broadcast(eval_ids), "doc_id", "left_anti"
+    )
+    n_grams = corpus_sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams")
+    )
+    ov = (
+        corpus_sh.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    best = ov.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("overlap")).alias("neg"), "eval_id")).alias("b")
+    )
+    return (
+        n_grams.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("b.eval_id"), F.lit(-1))
+            .cast("long")
+            .alias("best_eval_id"),
+            F.coalesce(-F.col("b.neg"), F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce(-F.col("b.neg"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .withColumn(
+            # compares the ROUNDED containment so the oracle's verdict
+            # column is decided by the exact same 6-dp value it hashes
+            "flagged",
+            F.col("containment") >= F.lit(float(threshold)),
+        )
+    )

@@ -740,3 +740,37 @@ def neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cluster_size_hist(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the duplicate-cluster size
+    distribution over ``dup_clusters``'s transitive components — the
+    first diagnostic a dedup run reports (how much of the corpus sits in
+    big boilerplate clusters vs singletons; n_docs = size × n_clusters
+    is each size's share of the corpus).  Documents with no shingles
+    never enter the graph and are not counted (same domain as
+    ``dup_clusters``).
+
+    Two map-side-combined hash aggregates on top of the cluster labels —
+    the histogram adds nothing to the clustering's scale profile (the
+    second aggregate's key cardinality is the number of DISTINCT sizes,
+    tiny; safe because it aggregates, never windows, on it)."""
+    cl = dup_clusters(docs, num_hashes, band_size, k, max_iter)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

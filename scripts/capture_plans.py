@@ -44,6 +44,10 @@ NOTES = {
     "segment_dedup": "C4-style: narrow segmentation (tokenize -> posexplode -> slice) -> min-window on seg_key (O(m) per boilerplate cluster, no pairs) -> per-doc reassembly agg",
     "bloom_decontaminate": "constant-size Bloom bitmap as a plan literal (built eagerly from the eval side) -> fully narrow md5+mod probe (no bloom join) -> per-doc agg + zero-hit restore join",
     "neardup_clean": "cleaned-corpus composition: keeper-edge verdicts -> duplicate-id anti-join on high-cardinality doc_id (AQE-sided)",
+    "asof_events": "as-of join: union-tag + ONE high-cardinality (user_id) window carrying last(dim payload, ignorenulls) -> probe filter; one shuffle total",
+    "range_join": "bounded range self-join: 3-cell bucket replication turns the inequality join into a (key, cell) equi-join; exact |delta| filter + per-event count + zero-neighbor restore join",
+    "fuzzy_decontaminate": "broadcast per-eval-doc gram set; corpus shingled ONCE -> (doc, eval) overlap agg -> per-doc struct-min; containment = one small-int division",
+    "cluster_size_hist": "two hash aggregates over dup_clusters' converged labels (second agg keys on the tiny distinct-size domain — aggregate, never window)",
 }
 
 

@@ -496,3 +496,50 @@ def test_bloom_serving_artifact_equals_inline_build(spark):
     assert served == inline
     with __import__("pytest").raises(ValueError, match="bitmap has"):
         bloom_decontaminate(corpus, m_bits=m, bitmap=words[:-1])
+
+
+def test_fuzzy_decontaminate_containment_values(spark):
+    from learnhtml_spark.functions.chunking import fuzzy_decontaminate
+
+    bench = "a b c d e f g h"          # 4 distinct 5-grams
+    rows = [
+        (1, bench, "en", "a"),                     # benchmark doc (eval_n=1)
+        (2, "a b c d e x y z w", "en", "a"),       # shares 1 of its 5 grams
+        (3, bench + " i", "en", "b"),              # shares 4 of its 5 grams
+        (4, "totally unrelated words here now", "en", "b"),  # 0 overlap
+        (5, "", "en", "b"),                        # gramless: omitted
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["best_eval_id"], r["overlap"],
+            r["containment"], r["flagged"],
+        )
+        for r in fuzzy_decontaminate(df, eval_n=1, k=5, threshold=0.5).collect()
+    }
+    assert set(got) == {2, 3, 4}
+    assert got[2] == (5, 1, 1, 0.2, False)
+    assert got[3] == (5, 1, 4, 0.8, True)
+    assert got[4] == (1, -1, 0, 0.0, False)  # 5 tokens -> exactly 1 five-gram
+
+
+def test_fuzzy_decontaminate_best_eval_tiebreak(spark):
+    # two eval docs share the same overlap with the probe doc -> the
+    # smaller eval_id must win
+    from learnhtml_spark.functions.chunking import fuzzy_decontaminate
+
+    rows = [
+        (1, "p q r s t", "en", "a"),   # eval 1: one 5-gram
+        (2, "p q r s t", "en", "a"),   # eval 2: the same gram
+        (3, "p q r s t u v w x", "en", "b"),  # overlaps both equally
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+    out = {
+        r["doc_id"]: r["best_eval_id"]
+        for r in fuzzy_decontaminate(df, eval_n=2, k=5).collect()
+    }
+    assert out == {3: 1}

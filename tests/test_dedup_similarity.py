@@ -815,3 +815,33 @@ def test_unigram_lm_partitioning_invariant(docs):
     base = sorted(unigram_lm_score(docs).collect())
     shuffled = sorted(unigram_lm_score(docs.repartition(7)).collect())
     assert base == shuffled
+
+
+def test_cluster_size_hist_matches_dup_clusters(spark):
+    from learnhtml_spark.functions.dedup import cluster_size_hist, dup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest this morning")
+    variants = [
+        base, base, base,
+        base.replace("quick", "fast"),
+        "completely unrelated text about query planners and shuffles",
+        "completely unrelated text about query planners and shuffles",
+        "another lonely document with no duplicates anywhere at all",
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(variants)], "doc_id long, text string"
+    )
+    from collections import Counter
+
+    labels = Counter(
+        r["cluster_id"] for r in dup_clusters(df).collect()
+    )
+    expected = Counter(labels.values())   # size -> n_clusters
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_size_hist(df).collect()
+    }
+    assert got == {s: (n, s * n) for s, n in expected.items()}
+    # every doc accounted for exactly once
+    assert sum(nd for _, nd in got.values()) == sum(labels.values())

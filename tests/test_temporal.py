@@ -1,0 +1,114 @@
+"""Temporal join operators: as-of join (union-tag window) and bounded
+range self-join (3-cell bucket replication).  Semantics oracles here are
+hand-computed tiny frames; the driver-level oracle is DuckDB's native
+ASOF JOIN / plain inequality join (__spark_entry__.oracle_sql)."""
+
+import datetime as dt
+
+import pytest
+
+from learnhtml_spark.functions.temporal import asof_join, range_neighbor_count
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:00:05"), "click"),
+            (2, 10, _ts("2024-01-01 00:00:20"), "view"),
+            (3, 10, _ts("2024-01-01 00:00:30"), "click"),  # == dim ts (tie)
+            (4, 20, _ts("2024-01-01 00:00:01"), "view"),   # before any dim
+            (5, 30, _ts("2024-01-01 00:05:00"), "click"),  # user w/o dim
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:10"), 1.0),
+            (10, _ts("2024-01-01 00:00:30"), 2.0),
+            (20, _ts("2024-01-01 00:00:02"), 9.0),
+        ],
+        "user_id long, ts timestamp, pval double",
+    )
+    return probe, dim
+
+
+def test_asof_semantics(tiny):
+    probe, dim = tiny
+    out = asof_join(probe, dim, key="user_id", ts="ts", payload_cols=["pval"])
+    got = {r["event_id"]: (r["pval"], r["_dim_ts"]) for r in out.collect()}
+    # event 1 precedes every dim row -> dropped (inner as-of)
+    # event 4's user has a dim row only AFTER it -> dropped
+    # event 5's user has no dim rows at all -> dropped
+    assert set(got) == {2, 3}
+    assert got[2] == (1.0, _ts("2024-01-01 00:00:10"))
+    # tie at equal ts is INCLUSIVE (probe.ts >= dim.ts), matching DuckDB
+    assert got[3] == (2.0, _ts("2024-01-01 00:00:30"))
+
+
+def test_asof_payload_collision_raises(tiny):
+    probe, dim = tiny
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            probe,
+            dim.withColumnRenamed("pval", "event_type"),
+            key="user_id",
+            ts="ts",
+            payload_cols=["event_type"],
+        )
+
+
+def test_range_neighbor_count_cell_boundaries(spark):
+    # radius 10 s; cells are 10-s wide.  Events at 9.9s and 10.1s sit in
+    # DIFFERENT cells but within the radius — the replicated-cell join
+    # must still pair them exactly once; 0s vs 25s must NOT pair.
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (1, 7, base),
+        (2, 7, base + dt.timedelta(seconds=9, microseconds=900000)),
+        (3, 7, base + dt.timedelta(seconds=10, microseconds=100000)),
+        (4, 7, base + dt.timedelta(seconds=25)),
+        (5, 8, base),  # other user: never a neighbor of user 7
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: r["n_neighbors"]
+        for r in range_neighbor_count(
+            ev, key="user_id", ts="ts", id_col="event_id", radius_s=10
+        ).collect()
+    }
+    # 1~2 (9.9s), 1~3 (10.1s > 10? no: 10.1 > 10 -> NOT neighbors),
+    # 2~3 (0.2s), 3~4 (14.9s -> no)... recompute strictly:
+    # |1-2|=9.9 ok; |1-3|=10.1 no; |2-3|=0.2 ok; |2-4|=15.1 no; |3-4|=14.9 no
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0, 5: 0}
+
+
+def test_range_neighbor_matches_quadratic_oracle(spark):
+    # deterministic pseudo-random scatter vs the brute-force pair count
+    import itertools
+
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (
+            i,
+            (i * 7) % 3,
+            base + dt.timedelta(seconds=((i * 37) % 113) + ((i * 11) % 7) / 10),
+        )
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    expected = {i: 0 for i, _, _ in rows}
+    for (a, ua, ta), (b, ub, tb) in itertools.permutations(rows, 2):
+        if ua == ub and abs((ta - tb).total_seconds()) <= 15:
+            expected[a] += 1
+    got = {
+        r["event_id"]: r["n_neighbors"]
+        for r in range_neighbor_count(
+            ev, key="user_id", ts="ts", id_col="event_id", radius_s=15
+        ).collect()
+    }
+    assert got == expected
