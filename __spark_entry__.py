@@ -747,6 +747,18 @@ def q_fuzzy_decontaminate(spark, sf_dir):
     return fuzzy_decontaminate(_docs(spark, sf_dir), eval_n=20, k=5)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    # snapshot-over-snapshot dedup (incremental crawl): odd doc_ids are
+    # the "new" snapshot probed against the even-id "existing" corpus;
+    # corpus bands collapse to one row per signature before the join
+    from learnhtml_spark.functions.dedup import incremental_dedup
+
+    d = _docs(spark, sf_dir)
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_cluster_size_hist(spark, sf_dir):
     # duplicate-cluster size distribution over the transitive components
     # (two hash aggregates on top of dup_clusters)
@@ -811,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "cluster_size_hist": q_cluster_size_hist,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1055,6 +1068,28 @@ select doc_id, min(node) as cluster_id,
        min(node) <> doc_id as is_duplicate
 from walk group by doc_id
 """
+
+
+# incremental (snapshot-over-snapshot) dedup: bands from the shared
+# minhash CTEs, corpus side = even doc_ids collapsed to per-signature
+# min, new side = odd doc_ids; restore join reports gramless docs unique
+_INCREMENTAL_DEDUP_SQL = _MINHASH_CTES + r""",
+corp as (
+  select band, band_sig, min(doc_id) as corpus_min
+  from bands where doc_id % 2 = 0 group by band, band_sig
+),
+nb as (select * from bands where doc_id % 2 = 1),
+hit as (
+  select nb.doc_id, min(corpus_min) as matched
+  from nb join corp using (band, band_sig) group by nb.doc_id
+)
+select d.doc_id,
+       cast(coalesce(h.matched, -1) as bigint) as matched_corpus_id,
+       h.matched is not null as is_dup_of_corpus
+from documents d left join hit h on d.doc_id = h.doc_id
+where d.doc_id % 2 = 1
+"""
+_INCREMENTAL_DEDUP_SQL = _sub_mh(_INCREMENTAL_DEDUP_SQL)
 
 _GOPHER_SQL = r"""
 with toks as (
@@ -1911,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_SQL,
         "fuzzy_decontaminate": _FUZZY_DECON_SQL,
         "cluster_size_hist": _CLUSTER_SIZE_HIST_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         # extract_spans / node_features / label_ratios are the DOM pipeline:
         # not SQL-expressible; golden-tested against the reference's own
         # expectations in tests/ (rows-only check here).

@@ -774,3 +774,49 @@ def cluster_size_hist(
             .alias("n_docs"),
         )
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Snapshot-over-snapshot (incremental-crawl) near-dup: for every
+    document of the NEW snapshot, whether it shares any LSH band
+    signature with ANY document of the EXISTING corpus — (doc_id,
+    matched_corpus_id, is_dup_of_corpus), matched_corpus_id = smallest
+    colliding corpus doc (-1 when none).  This is the asymmetric batch
+    form production dedup actually runs between crawls: the old corpus
+    is never re-deduped, only probed.
+
+    Scale shape: the corpus side is collapsed to ONE row per distinct
+    (band, band_sig) by a map-side-combined min aggregate BEFORE the
+    join — a 10^6-page identical corpus cluster contributes one probe
+    row per signature, so the new↔old join is bounded by (new bands) ×
+    (1) regardless of corpus duplication skew; no pair emission, no cap
+    needed.  New docs with no shingles never enter a band and are
+    reported unique via the restore join."""
+    nb = lsh_band_rows(new_docs, num_hashes, band_size, k)
+    corp_min = (
+        lsh_band_rows(corpus_docs, num_hashes, band_size, k)
+        .groupBy("band", "band_sig")
+        .agg(F.min("doc_id").alias("corpus_min"))
+    )
+    hit = (
+        nb.join(corp_min, ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.min("corpus_min").alias("matched"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("matched"), F.lit(-1))
+            .cast("long")
+            .alias("matched_corpus_id"),
+            F.col("matched").isNotNull().alias("is_dup_of_corpus"),
+        )
+    )

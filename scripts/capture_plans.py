@@ -47,6 +47,7 @@ NOTES = {
     "asof_events": "as-of join: union-tag + ONE high-cardinality (user_id) window carrying last(dim payload, ignorenulls) -> probe filter; one shuffle total",
     "range_join": "bounded range self-join: 3-cell bucket replication turns the inequality join into a (key, cell) equi-join; exact |delta| filter + per-event count + zero-neighbor restore join",
     "fuzzy_decontaminate": "broadcast per-eval-doc gram set; corpus shingled ONCE -> (doc, eval) overlap agg -> per-doc struct-min; containment = one small-int division",
+    "incremental_dedup": "snapshot-over-snapshot: corpus bands -> per-signature min aggregate (ONE probe row per sig, skew-immune) -> new-side band join -> per-doc min + unique restore join",
     "cluster_size_hist": "two hash aggregates over dup_clusters' converged labels (second agg keys on the tiny distinct-size domain — aggregate, never window)",
 }
 

@@ -845,3 +845,59 @@ def test_cluster_size_hist_matches_dup_clusters(spark):
     assert got == {s: (n, s * n) for s, n in expected.items()}
     # every doc accounted for exactly once
     assert sum(nd for _, nd in got.values()) == sum(labels.values())
+
+
+def test_incremental_dedup_semantics(spark):
+    from learnhtml_spark.functions.dedup import incremental_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest this morning")
+    corpus = spark.createDataFrame(
+        # ids 2,4,6: a duplicated cluster; 8: unrelated
+        [(2, base), (4, base), (6, base),
+         (8, "existing corpus text about planners and shuffles only")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                  # dup of cluster -> min id 2
+            (3, base.replace("quick", "fast")),         # near-dup, shares bands
+            (5, "genuinely novel content nothing shared with anything"),
+            (7, "   "),                                 # gramless -> unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["matched_corpus_id"], r["is_dup_of_corpus"])
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert set(got) == {1, 3, 5, 7}
+    assert got[1] == (2, True)        # smallest colliding corpus id
+    assert got[3] == (2, True)
+    assert got[5] == (-1, False)
+    assert got[7] == (-1, False)      # no shingles, restored as unique
+
+
+def test_incremental_dedup_corpus_skew_collapses(spark):
+    # a 200-page identical corpus cluster must reach the join as ONE row
+    # per band signature: output stays one row per NEW doc, and the
+    # corpus side is pre-aggregated (no pair emission)
+    from learnhtml_spark.functions.dedup import incremental_dedup
+
+    page = ("identical boilerplate page body repeated across the whole "
+            "mirror farm with enough words to shingle properly")
+    corpus = spark.createDataFrame(
+        [(i, page) for i in range(0, 400, 2)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, page), (3, "something else entirely and unrelated")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(new, corpus)
+    rows = out.collect()
+    assert len(rows) == 2
+    got = {r["doc_id"]: r["matched_corpus_id"] for r in rows}
+    assert got == {1: 0, 3: -1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus side is reduced by an aggregate before any join
+    assert "HashAggregate" in plan
