@@ -727,15 +727,34 @@ def q_asof_events(spark, sf_dir):
 
 
 def q_range_join(spark, sf_dir):
-    # bounded range self-join via the 3-cell bucket replication trick
-    # (burst detection: neighbors of the same user within ±5 min); the
-    # oracle is the plain quadratic inequality join DuckDB can afford at
-    # this scale factor
+    # bounded-range neighbor counts (burst detection: same-user events
+    # within ±5 min) via ONE range-frame window on integer-µs ts — zero
+    # joins, zero pair materialization; oracle is the plain quadratic
+    # inequality join DuckDB can afford at this scale factor
     from learnhtml_spark.functions.temporal import range_neighbor_count
 
     return range_neighbor_count(
         _events(spark, sf_dir), key="user_id", ts="ts",
         id_col="event_id", radius_s=300,
+    )
+
+
+def q_range_pairs(spark, sf_dir):
+    # two-table bounded range join (the op with no fast native Spark
+    # plan): each non-purchase event paired with every same-user
+    # purchase within ±120 s, via the 3-cell bucket replication
+    from learnhtml_spark.functions.temporal import range_join_pairs
+
+    ev = _events(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid")
+    )
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    return range_join_pairs(
+        probe, dim, key="user_id", ts="ts", radius_s=120,
+        probe_id="eid", dim_id="pid",
     )
 
 
@@ -821,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs": q_topk_docs,
         "asof_events": q_asof_events,
         "range_join": q_range_join,
+        "range_pairs": q_range_pairs,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "cluster_size_hist": q_cluster_size_hist,
         "incremental_dedup": q_incremental_dedup,
@@ -1165,13 +1185,23 @@ from probe p asof join dim d
 """
 
 # plain quadratic inequality join — affordable for the oracle at this
-# scale factor; the Spark side uses the 3-cell bucket replication
+# scale factor; the Spark side uses a range-frame window (count form)
 _RANGE_JOIN_SQL = r"""
 select e.event_id, cast(count(f.event_id) as bigint) as n_neighbors
 from events e left join events f
   on e.user_id = f.user_id and f.event_id <> e.event_id
  and abs(epoch_us(e.ts) - epoch_us(f.ts)) <= 300000000
 group by e.event_id
+"""
+
+
+_RANGE_PAIRS_SQL = r"""
+select e.event_id as eid, p.event_id as pid,
+       epoch_us(e.ts) - epoch_us(p.ts) as delta_us
+from events e join events p
+  on e.user_id = p.user_id
+ and e.event_type <> 'purchase' and p.event_type = 'purchase'
+ and abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 120000000
 """
 
 _FUZZY_DECON_SQL = r"""
@@ -1944,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": _TOPK_SQL,
         "asof_events": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "range_pairs": _RANGE_PAIRS_SQL,
         "fuzzy_decontaminate": _FUZZY_DECON_SQL,
         "cluster_size_hist": _CLUSTER_SIZE_HIST_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,

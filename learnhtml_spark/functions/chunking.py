@@ -426,8 +426,19 @@ def fuzzy_decontaminate(
     corpus_sh = shingles(docs, k).join(
         F.broadcast(eval_ids), "doc_id", "left_anti"
     )
-    n_grams = corpus_sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams")
+    # n_grams is the SIZE of the (already-distinct) per-doc shingle
+    # array — a narrow per-row expression, no explode and no aggregate,
+    # so the corpus is exploded exactly once (the overlap branch below);
+    # a groupBy-count over corpus_sh here would shingle the corpus a
+    # second time (Catalyst does not CSE subtrees across aggregates)
+    from learnhtml_spark.functions.dedup import _shingle_array
+
+    n_grams = (
+        docs.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+        .select(
+            "doc_id", F.size(_shingle_array(docs, k)).alias("n_grams")
+        )
+        .filter(F.col("n_grams") > 0)
     )
     ov = (
         corpus_sh.join(F.broadcast(eval_grams), "shingle")

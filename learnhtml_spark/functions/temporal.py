@@ -13,15 +13,17 @@ Scale notes (100 TB):
   regardless of payload column count — strictly cheaper than the
   naive inequality join (O(probe × dim) per key) and the same shape
   Flink's temporal table join lowers to.
-- ``range_neighbor_count`` buckets time into ``radius``-wide cells and
-  replicates ONE side into its 3 adjacent cells, turning the
-  inequality join into an equi-join on (key, cell) that AQE/SMJ can
-  shuffle on a high-cardinality composite key.  Each qualifying pair
-  is counted exactly once: |Δts| <= radius forces cell distance <= 1,
-  and only the replica landing in the probe's own cell matches.
-  Replication factor is a constant 3; per-cell group size is bounded
-  by the per-key event rate within one radius — no quadratic blowup
-  unless the data itself is quadratic in a window.
+- ``range_neighbor_count`` is a single RANGE-frame window on the
+  integer-µs timestamp — one shuffle, zero joins, zero pair
+  materialization (a 10^5-event burst in one radius is O(n) window
+  work, not O(n²) pair rows).
+- ``range_join_pairs`` is the general two-table range join (pair
+  output): time bucketed into ``radius``-wide cells, the dim side
+  replicated into its 3 adjacent cells, turning the inequality join
+  into an equi-join on (key, cell).  Each qualifying pair is matched
+  exactly once: |Δts| <= radius forces cell distance <= 1, and only
+  the replica landing in the probe's own cell matches.  Replication
+  is a constant ×3; output size is the data's own pair count.
 """
 
 from __future__ import annotations
@@ -101,42 +103,88 @@ def range_neighbor_count(
 ) -> DataFrame:
     """(id, n_neighbors): for every event, how many OTHER events share
     its ``key`` within ±``radius_s`` seconds — the bounded range
-    self-join (burst/velocity detection, co-occurrence windows).
+    self-join's COUNT form (burst/velocity detection).
 
-    Bucketed equi-join plan: cell = µs-timestamp div radius; the right
-    side is replicated into cells {c-1, c, c+1}; join on (key, cell)
-    then filter the exact |Δ| bound.  Zero-neighbor events are restored
-    by a left join (absence is the common, reportable case)."""
+    Plan: ONE range-frame window — ``count(*) over (partition by key
+    order by µs range between -radius and +radius) - 1`` on the integer
+    microsecond timestamp.  One shuffle on the high-cardinality key,
+    zero joins, and crucially ZERO pair materialization: a 10^5-event
+    burst inside one radius costs O(n) window work here but would emit
+    O(n²) pair rows in any join-based plan.  (The pair-OUTPUT form,
+    where each match must be its own row, genuinely needs the bucketed
+    equi-join — that is ``range_join_pairs``; this function is
+    cross-verified against it in tests.)  Equal-timestamp events are
+    handled exactly: a RANGE frame includes all ties, and self is
+    subtracted once."""
     rad_us = int(radius_s) * 1_000_000
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     base = events.select(
         F.col(key).alias("k"), F.col(id_col).alias("id"), us.alias("us")
     )
-    left = base.withColumn("cell", F.expr(f"us div {rad_us}"))
-    right = base.select(
-        F.col("k"),
-        F.col("id").alias("rid"),
-        F.col("us").alias("rus"),
+    w = (
+        Window.partitionBy("k")
+        .orderBy("us")
+        .rangeBetween(-rad_us, rad_us)
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        (F.count("*").over(w) - 1).cast("long").alias("n_neighbors"),
+    )
+
+
+def range_join_pairs(
+    probe: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str,
+    radius_s: int,
+    probe_id: str,
+    dim_id: str,
+) -> DataFrame:
+    """Generic two-table bounded range join — (probe_id, dim_id,
+    delta_us) for every (probe, dim) pair sharing ``key`` with
+    |probe.ts - dim.ts| <= radius_s.  This is the op Spark has no fast
+    native plan for (a raw inequality join falls back to
+    BroadcastNestedLoop / cartesian): the 3-cell bucket replication
+    turns it into an equi-join on (key, cell).
+
+    cell = µs div radius; the DIM side is replicated into cells
+    {c-1, c, c+1} (constant ×3); |Δ| <= radius forces cell distance
+    <= 1, and exactly one replica lands in the probe's own cell, so
+    each qualifying pair is matched exactly once — no distinct needed.
+    Output is the true pair set, so output size is the data's own pair
+    count; for per-row counts use ``range_neighbor_count`` (windowed,
+    never materializes pairs)."""
+    rad_us = int(radius_s) * 1_000_000
+    pus = F.unix_micros(F.col(ts).cast("timestamp"))
+    left = probe.select(
+        F.col(key).alias("k"),
+        F.col(probe_id).alias("pid"),
+        pus.alias("pus"),
+    ).withColumn("cell", F.expr(f"pus div {rad_us}"))
+    dus = F.unix_micros(F.col(ts).cast("timestamp"))
+    right = dim.select(
+        F.col(key).alias("k"),
+        F.col(dim_id).alias("did"),
+        dus.alias("dus"),
+    ).select(
+        "k",
+        "did",
+        "dus",
         F.explode(
             F.array(
-                F.expr(f"us div {rad_us} - 1"),
-                F.expr(f"us div {rad_us}"),
-                F.expr(f"us div {rad_us} + 1"),
+                F.expr(f"dus div {rad_us} - 1"),
+                F.expr(f"dus div {rad_us}"),
+                F.expr(f"dus div {rad_us} + 1"),
             )
         ).alias("cell"),
     )
-    pairs = left.join(right, ["k", "cell"]).filter(
-        (F.col("id") != F.col("rid"))
-        & (F.abs(F.col("us") - F.col("rus")) <= F.lit(rad_us))
-    )
-    counts = pairs.groupBy("id").agg(F.count("*").alias("n_neighbors"))
     return (
-        base.select("id")
-        .join(counts, "id", "left")
+        left.join(right, ["k", "cell"])
+        .filter(F.abs(F.col("pus") - F.col("dus")) <= F.lit(rad_us))
         .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("n_neighbors"), F.lit(0))
-            .cast("long")
-            .alias("n_neighbors"),
+            F.col("pid").alias(probe_id),
+            F.col("did").alias(dim_id),
+            (F.col("pus") - F.col("dus")).cast("long").alias("delta_us"),
         )
     )

@@ -45,8 +45,9 @@ NOTES = {
     "bloom_decontaminate": "constant-size Bloom bitmap as a plan literal (built eagerly from the eval side) -> fully narrow md5+mod probe (no bloom join) -> per-doc agg + zero-hit restore join",
     "neardup_clean": "cleaned-corpus composition: keeper-edge verdicts -> duplicate-id anti-join on high-cardinality doc_id (AQE-sided)",
     "asof_events": "as-of join: union-tag + ONE high-cardinality (user_id) window carrying last(dim payload, ignorenulls) -> probe filter; one shuffle total",
-    "range_join": "bounded range self-join: 3-cell bucket replication turns the inequality join into a (key, cell) equi-join; exact |delta| filter + per-event count + zero-neighbor restore join",
-    "fuzzy_decontaminate": "broadcast per-eval-doc gram set; corpus shingled ONCE -> (doc, eval) overlap agg -> per-doc struct-min; containment = one small-int division",
+    "range_join": "neighbor COUNT form: ONE range-frame window on integer-us ts (partition by user) — zero joins, zero pair materialization",
+    "range_pairs": "two-table range join (pair output): 3-cell bucket replication turns the inequality join into a (key, cell) equi-join; each pair matched exactly once",
+    "fuzzy_decontaminate": "broadcast per-eval-doc gram set; corpus exploded ONCE (n_grams is the narrow array-size expr, no second shingle pass) -> (doc, eval) overlap agg -> per-doc struct-min",
     "incremental_dedup": "snapshot-over-snapshot: corpus bands -> per-signature min aggregate (ONE probe row per sig, skew-immune) -> new-side band join -> per-doc min + unique restore join",
     "cluster_size_hist": "two hash aggregates over dup_clusters' converged labels (second agg keys on the tiny distinct-size domain — aggregate, never window)",
 }

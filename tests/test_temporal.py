@@ -1,5 +1,6 @@
-"""Temporal join operators: as-of join (union-tag window) and bounded
-range self-join (3-cell bucket replication).  Semantics oracles here are
+"""Temporal join operators: as-of join (union-tag window), range-frame
+neighbor counts, and the two-table bucketed range join.  Semantics
+oracles here are
 hand-computed tiny frames; the driver-level oracle is DuckDB's native
 ASOF JOIN / plain inequality join (__spark_entry__.oracle_sql)."""
 
@@ -7,7 +8,11 @@ import datetime as dt
 
 import pytest
 
-from learnhtml_spark.functions.temporal import asof_join, range_neighbor_count
+from learnhtml_spark.functions.temporal import (
+    asof_join,
+    range_join_pairs,
+    range_neighbor_count,
+)
 
 
 def _ts(s):
@@ -63,9 +68,8 @@ def test_asof_payload_collision_raises(tiny):
 
 
 def test_range_neighbor_count_cell_boundaries(spark):
-    # radius 10 s; cells are 10-s wide.  Events at 9.9s and 10.1s sit in
-    # DIFFERENT cells but within the radius — the replicated-cell join
-    # must still pair them exactly once; 0s vs 25s must NOT pair.
+    # radius 10 s.  Events at 9.9s apart are neighbors; 10.1s apart are
+    # not — the RANGE frame must cut exactly at the inclusive bound.
     base = _ts("2024-01-01 00:00:00")
     rows = [
         (1, 7, base),
@@ -112,3 +116,72 @@ def test_range_neighbor_matches_quadratic_oracle(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_range_pairs_two_table_semantics(spark):
+    base = _ts("2024-01-01 00:00:00")
+    probe = spark.createDataFrame(
+        [
+            (1, 7, base),
+            (2, 7, base + dt.timedelta(seconds=50)),
+            (3, 8, base),
+        ],
+        "eid long, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            (100, 7, base + dt.timedelta(seconds=30)),   # pairs with 1 and 2
+            (101, 7, base + dt.timedelta(seconds=200)),  # pairs with nothing (radius 60)
+            (102, 9, base),                              # other user
+        ],
+        "pid long, user_id long, ts timestamp",
+    )
+    got = {
+        (r["eid"], r["pid"]): r["delta_us"]
+        for r in range_join_pairs(
+            probe, dim, key="user_id", ts="ts", radius_s=60,
+            probe_id="eid", dim_id="pid",
+        ).collect()
+    }
+    assert got == {(1, 100): -30_000_000, (2, 100): 20_000_000}
+
+
+def test_range_count_crosschecks_bucketed_pairs(spark):
+    # the windowed count form and the bucketed pair form must agree on a
+    # deterministic scatter (each pair counted exactly once in both)
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (i, (i * 5) % 4, base + dt.timedelta(seconds=(i * 41) % 157))
+        for i in range(80)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    counted = {
+        r["event_id"]: r["n_neighbors"]
+        for r in range_neighbor_count(
+            ev, key="user_id", ts="ts", id_col="event_id", radius_s=20
+        ).collect()
+    }
+    pairs = range_join_pairs(
+        ev, ev.withColumnRenamed("event_id", "rid"),
+        key="user_id", ts="ts", radius_s=20,
+        probe_id="event_id", dim_id="rid",
+    ).filter("event_id <> rid")
+    from collections import Counter
+
+    via_pairs = Counter(r["event_id"] for r in pairs.collect())
+    assert counted == {i: via_pairs.get(i, 0) for i, _, _ in rows}
+
+
+def test_range_count_no_pair_materialization(spark):
+    # the count form's plan must be a window, not a join
+    base = _ts("2024-01-01 00:00:00")
+    ev = spark.createDataFrame(
+        [(i, 1, base + dt.timedelta(seconds=i)) for i in range(10)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    plan = (
+        range_neighbor_count(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "Join" not in plan
