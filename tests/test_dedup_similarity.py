@@ -901,3 +901,36 @@ def test_incremental_dedup_corpus_skew_collapses(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the corpus side is reduced by an aggregate before any join
     assert "HashAggregate" in plan
+
+
+def test_incremental_dedup_empty_corpus_and_invariance(spark):
+    # empty existing corpus -> every new doc unique; result invariant
+    # under input partitioning
+    from learnhtml_spark.functions.dedup import incremental_dedup
+
+    txt = ("some perfectly ordinary document text with enough words "
+           "to produce shingles for the minhash signature")
+    new = spark.createDataFrame(
+        [(i, txt + f" variant {i}") for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = incremental_dedup(new, empty).collect()
+    assert {r["doc_id"]: r["is_dup_of_corpus"] for r in out} == {
+        i: False for i in range(1, 8)
+    }
+    corpus = spark.createDataFrame(
+        [(100 + i, txt + f" variant {i}") for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    a = {
+        (r["doc_id"], r["matched_corpus_id"])
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    b = {
+        (r["doc_id"], r["matched_corpus_id"])
+        for r in incremental_dedup(
+            new.repartition(7), corpus.repartition(3)
+        ).collect()
+    }
+    assert a == b and len(a) == 7

@@ -185,3 +185,36 @@ def test_range_count_no_pair_materialization(spark):
     )
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_asof_matches_bruteforce_oracle(spark):
+    # pseudo-random scatter vs a python brute-force as-of (latest dim
+    # at-or-before, inclusive)
+    base = _ts("2024-01-01 00:00:00")
+    probe_rows = [
+        (i, (i * 3) % 5, base + dt.timedelta(seconds=(i * 17) % 301))
+        for i in range(70)
+    ]
+    dim_rows = [
+        (100 + j, (j * 7) % 5, base + dt.timedelta(seconds=(j * 41) % 301), float(j))
+        for j in range(25)
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "event_id long, user_id long, ts timestamp"
+    )
+    dim = spark.createDataFrame(
+        dim_rows, "did long, user_id long, ts timestamp, pval double"
+    )
+    expected = {}
+    for eid, u, t in probe_rows:
+        cands = [(dt_, v) for _, du, dt_, v in dim_rows if du == u and dt_ <= t]
+        if cands:
+            expected[eid] = max(cands)[1]   # latest ts wins
+    got = {
+        r["event_id"]: r["pval"]
+        for r in asof_join(
+            probe, dim.drop("did"), key="user_id", ts="ts",
+            payload_cols=["pval"],
+        ).collect()
+    }
+    assert got == expected
