@@ -190,6 +190,17 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir))
 
 
+def q_hll_distinct(spark, sf_dir):
+    # deterministic HyperLogLog distinct-fingerprint sketch per language
+    # (m=16 registers from the md5 fingerprint itself — bit-identical
+    # across engines, so the ESTIMATE is oracle-checked, not just the
+    # exact count; every lang has >= 2.5m docs here, the raw-estimator
+    # validity regime)
+    from learnhtml_spark.functions.dedup import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), p=4, group="lang")
+
+
 def q_unigram_lm(spark, sf_dir):
     # CCNet-style unigram-LM quality score (log-free ppm form)
     from learnhtml_spark.functions.textstats import unigram_lm_score
@@ -541,6 +552,28 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), num=1, den=5)
 
 
+#: the driver mixture spec: explicit per-source rates (data-mixing
+#: weights) — unlisted sources are dropped, src3 shows the in-band
+#: "listed but weight zero" case, src4 full passthrough
+_MIXTURE_RATES = {
+    "src0": (1, 2),
+    "src1": (1, 4),
+    "src2": (3, 5),
+    "src3": (0, 1),
+    "src4": (1, 1),
+    "src5": (2, 5),
+}
+
+
+def q_mixture_sample(spark, sf_dir):
+    # data-mixing sampler: per-source exact integer-ratio rates in the
+    # shared deterministic hash order (stratified_sample's), rates table
+    # broadcast
+    from learnhtml_spark.functions.sampling import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), rates=_MIXTURE_RATES)
+
+
 def q_media_features(spark, sf_dir):
     # multimodal decode path on REAL bytes end-to-end: deterministic
     # BMP/PCM-WAV payloads synthesized per doc (encoders are exact
@@ -786,6 +819,15 @@ def q_cluster_size_hist(spark, sf_dir):
     return cluster_size_hist(_docs(spark, sf_dir))
 
 
+def q_cluster_keepers(spark, sf_dir):
+    # quality-aware representative selection per transitive near-dup
+    # cluster: keeper = argmax n_chars (ties to smallest doc_id), one
+    # struct-min aggregate — the policy layer over dup_clusters
+    from learnhtml_spark.functions.dedup import cluster_keepers
+
+    return cluster_keepers(_docs(spark, sf_dir), quality_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
@@ -799,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "dup_stats": q_dup_stats,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "hll_distinct": q_hll_distinct,
         "source_overlap": q_source_overlap,
         "unigram_lm": q_unigram_lm,
         "segment_dedup": q_segment_dedup,
@@ -828,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "media_features": q_media_features,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -843,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pairs": q_range_pairs,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "cluster_size_hist": q_cluster_size_hist,
+        "cluster_keepers": q_cluster_keepers,
         "incremental_dedup": q_incremental_dedup,
     }
 
@@ -922,6 +967,45 @@ select doc_id,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) as fp,
        length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) as norm_len
 from documents
+"""
+
+# deterministic HyperLogLog (p=4, m=16 registers) over the md5 content
+# fingerprint, per lang: bucket = low 4 bits of the 52-bit (13-hex) hash
+# half, rank = 48+1 - bit_length(remaining bits) capped at 40 so every
+# 2^-r register term is exactly representable and the double sum is
+# order-independent; raw estimator alpha_16 * 16^2 / sum (no ln-based
+# small-range correction — cross-engine 1-ulp hazard)
+_HLL_SQL = r"""
+with fps as (
+  select lang, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) as fp
+  from documents
+),
+hb as (
+  select lang, fp,
+         ('0x' || substr(fp, 1, 13))::bigint % 16 as bucket,
+         ('0x' || substr(fp, 1, 13))::bigint // 16 as w
+  from fps
+),
+regs as (
+  select lang, bucket,
+         max(least(case when w = 0 then 49
+                        else 49 - length(to_base(w, 2)) end, 40)) as r
+  from hb group by lang, bucket
+),
+summ as (
+  select lang,
+         sum(power(0.5e0, r)) + (16 - count(*)) * 1.0e0 as ssum,
+         cast(16 - count(*) as bigint) as n_zero_buckets
+  from regs group by lang
+),
+exact as (
+  select lang, cast(count(distinct fp) as bigint) as n_exact
+  from hb group by lang
+)
+select e.lang, e.n_exact, s.n_zero_buckets,
+       round(0.673e0 * 256 / s.ssum, 6) as hll_estimate,
+       round((0.673e0 * 256 / s.ssum - e.n_exact) / e.n_exact, 6) as rel_error
+from exact e join summ s using (lang)
 """
 
 _SHINGLES_CTE = r"""
@@ -1165,6 +1249,21 @@ _CLUSTER_SIZE_HIST_SQL = (
     "select cluster_id, cast(count(*) as bigint) as cluster_size from ("
     + _DUP_CLUSTERS_SQL
     + ") group by cluster_id) group by cluster_size"
+)
+
+# quality-aware keeper over the same transitive components: argmax
+# n_chars (ties to smallest doc_id) == row_number over (q desc, id asc)
+# — the SQL analog of the single-pass min(struct(-q, id)) aggregate
+_CLUSTER_KEEPERS_SQL = (
+    "with j as (select c.doc_id, c.cluster_id, cast(d.n_chars as bigint) as q "
+    "from (" + _DUP_CLUSTERS_SQL + ") c join documents d using (doc_id)), "
+    "k as (select cluster_id, doc_id as keeper_id from ("
+    "select cluster_id, doc_id, "
+    "row_number() over (partition by cluster_id order by q desc, doc_id asc) as rn "
+    "from j) where rn = 1) "
+    "select j.doc_id, j.cluster_id, k.keeper_id, "
+    "j.doc_id = k.keeper_id as is_kept "
+    "from j join k using (cluster_id)"
 )
 
 # DuckDB's native ASOF JOIN is the oracle for the union-tag window
@@ -1713,6 +1812,27 @@ r as (
 select doc_id, source from r where rk * 5 <= n * 1
 """
 
+# data-mixing sampler: the rates VALUES list is generated from the same
+# _MIXTURE_RATES dict the Spark query uses, so spec and oracle cannot
+# drift; unlisted sources drop out via the inner join, num=0 keeps a
+# stratum in-spec but empty
+_MIXTURE_SAMPLE_SQL = (
+    "with rates(source, num, den) as (values "
+    + ", ".join(
+        f"('{k}', {int(_MIXTURE_RATES[k][0])}, {int(_MIXTURE_RATES[k][1])})"
+        for k in sorted(_MIXTURE_RATES)
+    )
+    + "), "
+    "h as (select d.doc_id, d.source, "
+    "(d.doc_id * 2654435761) % 2147483647 as hv "
+    "from documents d join rates using (source)), "
+    "r as (select doc_id, source, "
+    "row_number() over (partition by source order by hv, doc_id) as rk, "
+    "count(*) over (partition by source) as n from h) "
+    "select r.doc_id, r.source from r join rates using (source) "
+    "where rk * den <= n * num"
+)
+
 _EVENTS_SQL = r"""
 select event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
@@ -1869,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
             "select dup_count, count(*) as n_groups, "
             "count(*) * dup_count as n_docs from g group by dup_count"
         ),
+        "hll_distinct": _HLL_SQL,
         "dup_rate_by_source": (
             "with g as (select source, "
             "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp "
@@ -1960,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "mixture_sample": _MIXTURE_SAMPLE_SQL,
         # media_features: binary synthesis + decode is not SQL-expressible;
         # rows-only driver check (encoders/decoders are inverse-tested in
         # tests/test_tables_streaming.py)
@@ -1977,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "range_pairs": _RANGE_PAIRS_SQL,
         "fuzzy_decontaminate": _FUZZY_DECON_SQL,
         "cluster_size_hist": _CLUSTER_SIZE_HIST_SQL,
+        "cluster_keepers": _CLUSTER_KEEPERS_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         # extract_spans / node_features / label_ratios are the DOM pipeline:
         # not SQL-expressible; golden-tested against the reference's own

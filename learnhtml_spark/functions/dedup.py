@@ -65,6 +65,98 @@ def dup_rate_by_source(docs: DataFrame) -> DataFrame:
     )
 
 
+#: HyperLogLog bias constants alpha_m for the supported register counts
+#: (Flajolet et al. 2007, §4: 0.673 for m=16, 0.697 for m=32, 0.709 for
+#: m=64) — the same constants every HLL implementation ships.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+#: register-value cap: 2^-r terms down to 2^-40 keep every partial sum
+#: of the indicator series exactly representable in a double (exponent
+#: span <= 4-(-40)=44 < 52 significand bits), so the register sum is
+#: bit-identical under ANY addition order — the property that makes the
+#: estimate reproducible across engines and partitionings.  Truncating
+#: ranks above 40 perturbs the estimate by < 2^-34 relative.
+_HLL_R_MAX = 40
+
+
+def hll_distinct(docs: DataFrame, p: int = 6, group: str = "source") -> DataFrame:
+    """(group, n_exact, n_zero_buckets, hll_estimate, rel_error):
+    per-group HyperLogLog distinct-fingerprint estimate next to the
+    exact count — the sketch ``dup_rate_by_source`` documents as its
+    10^12-row form, here as a first-class DETERMINISTIC operator: the
+    registers derive from the md5 fingerprint itself (bucket = low ``p``
+    bits, rank = leading-zero count of the remaining 52-p bits + 1), so
+    the estimate is a pure function of the data — bit-identical across
+    runs, partitionings and engines, and therefore SQL-oracle-checkable,
+    unlike ``approx_count_distinct`` whose register hashing is
+    engine-private.
+
+    ``hll_estimate`` is the RAW estimator alpha_m * m^2 / sum(2^-r)
+    (valid above ~2.5m distincts; no small-range linear-counting
+    correction, which needs ln() — cross-engine 1-ulp hazard).  Callers
+    in the small regime apply m*ln(m/V) driver-side from the emitted
+    ``n_zero_buckets`` (V).  ``rel_error`` reports (est-exact)/exact.
+
+    Determinism argument (why the double arithmetic hashes equal): every
+    2^-r term and every 1.0 empty-bucket term is a power of two, ranks
+    are capped at ``_HLL_R_MAX`` = 40, so all partial sums are exact —
+    no rounding, no order sensitivity; the final alpha*m^2/S is one IEEE
+    division of identical operands.
+
+    Scale: two map-side-combined hash aggregates — (group, bucket) then
+    (group) — over at most m rows per group; the exact ``countDistinct``
+    rides along for the report (drop it at 10^12 rows and keep only the
+    sketch, which is the point).  Zero joins beyond one broadcast-sized
+    per-group merge."""
+    if p not in (4, 5, 6):
+        raise ValueError("hll_distinct: p must be 4, 5 or 6 (52-bit md5 hash budget)")
+    m = 1 << p
+    alpha = _HLL_ALPHA[m]
+    w_bits = 52 - p
+    fp = fingerprint(docs, keep=(group,))
+    h = F.conv(F.substring("fp", 1, 13), 16, 10).cast("long")
+    hb = fp.select(group, "fp", h.alias("h")).select(
+        group,
+        "fp",
+        F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+        F.expr(f"h div {m}").alias("w"),
+    )
+    # bit_length(w) via the base-2 digit string — exact integer->string,
+    # no floating log; conv(0,...) = '0' (length 1) needs its own branch
+    bitlen = F.length(F.conv(F.col("w"), 10, 2))
+    rank = F.least(
+        F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
+            F.lit(w_bits) + 1 - bitlen
+        ),
+        F.lit(_HLL_R_MAX),
+    )
+    regs = (
+        hb.select(group, "bucket", rank.alias("r"))
+        .groupBy(group, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    summ = regs.groupBy(group).agg(
+        (
+            F.sum(F.pow(F.lit(0.5), F.col("r")))
+            + (F.lit(m) - F.count("*")) * F.lit(1.0)
+        ).alias("ssum"),
+        (F.lit(m) - F.count("*")).cast("long").alias("n_zero_buckets"),
+    )
+    exact = hb.groupBy(group).agg(
+        F.countDistinct("fp").cast("long").alias("n_exact")
+    )
+    est = F.lit(alpha) * F.lit(float(m * m)) / F.col("ssum")
+    return exact.join(summ, group).select(
+        group,
+        "n_exact",
+        "n_zero_buckets",
+        F.round(est, 6).alias("hll_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
 def source_overlap(docs: DataFrame, k: int = 3) -> DataFrame:
     """(source_a, source_b, n_common, n_a, n_b, overlap_coef): content
     overlap between crawl sources, measured on distinct word ``k``-gram
@@ -773,6 +865,49 @@ def cluster_size_hist(
             .cast("long")
             .alias("n_docs"),
         )
+    )
+
+
+def cluster_keepers(
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id, keeper_id, is_kept): quality-aware
+    representative selection over ``dup_clusters``'s transitive
+    components — the keeper of each near-dup cluster is the member with
+    the HIGHEST ``quality_col`` (ties to smallest doc_id), not the
+    arbitrary smallest id.  This is the selection production dedup
+    actually wants: when a page exists as a full article and five
+    truncated mirrors, keep the full one.  min-doc_id keeper semantics
+    (``neardup_groups``/``dup_clusters``) remain the oracle-simple
+    default; this operator is the policy layer on top.
+
+    Scale: one equi-join of the cluster labels with the per-doc quality
+    column (doc_id primary key, AQE-sized), one map-side-combined
+    struct-min aggregate per cluster — ``min(struct(-quality, doc_id))``
+    selects argmax(quality) with deterministic tie-break in a single
+    pass, no per-cluster window — and one join of the per-cluster
+    keeper row (one row per cluster) back on cluster_id."""
+    lab = dup_clusters(docs, num_hashes, band_size, k, max_iter)
+    q = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(quality_col).cast("long").alias("_q"),
+    )
+    j = lab.join(q, "doc_id")
+    keepers = j.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("_q")).alias("nq"), F.col("doc_id").alias("d")))
+        .getField("d")
+        .alias("keeper_id")
+    )
+    return j.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
     )
 
 

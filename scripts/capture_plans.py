@@ -50,6 +50,9 @@ NOTES = {
     "fuzzy_decontaminate": "broadcast per-eval-doc gram set; corpus exploded ONCE (n_grams is the narrow array-size expr, no second shingle pass) -> (doc, eval) overlap agg -> per-doc struct-min",
     "incremental_dedup": "snapshot-over-snapshot: corpus bands -> per-signature min aggregate (ONE probe row per sig, skew-immune) -> new-side band join -> per-doc min + unique restore join",
     "cluster_size_hist": "two hash aggregates over dup_clusters' converged labels (second agg keys on the tiny distinct-size domain — aggregate, never window)",
+    "hll_distinct": "deterministic HLL sketch: two map-side-combined hash aggs — (group, bucket) register max then per-group register sum (order-exact doubles); exact countDistinct rides along for the report (drop it at 10^12 rows — the sketch is the point)",
+    "mixture_sample": "data-mixing sampler: broadcast rates allowlist join -> shared deterministic hash order -> skew-safe two-phase rank -> per-stratum integer-ratio bound",
+    "cluster_keepers": "converged cluster labels -> pk join with quality column (AQE-sided) -> ONE min(struct(-q, id)) argmax aggregate per cluster -> keeper join back on cluster_id",
 }
 
 

@@ -543,3 +543,48 @@ def test_fuzzy_decontaminate_best_eval_tiebreak(spark):
         for r in fuzzy_decontaminate(df, eval_n=2, k=5).collect()
     }
     assert out == {3: 1}
+
+
+def test_mixture_sample_exact_rates_and_slice_consistency(spark):
+    """Per-stratum exact floor(n*num/den) counts; a (1,5) stratum is
+    row-identical to that stratum's slice of a corpus-wide 1/5
+    stratified sample (retunable-rates property); unlisted strata drop;
+    num=0 strata contribute nothing."""
+    from learnhtml_spark.functions.sampling import mixture_sample, stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"s0": (1, 5), "s1": (1, 2), "s2": (0, 1)}  # s3 unlisted
+    out = {(r["doc_id"], r["source"]) for r in mixture_sample(df, rates).collect()}
+    per = {}
+    for _, s in out:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 10, "s1": 25}  # floor(50/5), floor(50/2); s2=0, s3 dropped
+    whole = {
+        (r["doc_id"], r["source"])
+        for r in stratified_sample(df, 1, 5).collect()
+        if r["source"] == "s0"
+    }
+    assert {(d, s) for d, s in out if s == "s0"} == whole
+    # deterministic across partitionings
+    out2 = {
+        (r["doc_id"], r["source"])
+        for r in mixture_sample(df.repartition(7), rates).collect()
+    }
+    assert out == out2
+
+
+def test_mixture_sample_validates(spark):
+    import pytest as _pytest
+
+    from learnhtml_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, {})
+    with _pytest.raises(ValueError):
+        mixture_sample(df, {"a": (2, 1)})
+    with _pytest.raises(ValueError):
+        mixture_sample(df, {"a": (1, 0)})
+    with _pytest.raises(ValueError):
+        mixture_sample(df, {"a": (-1, 2)})

@@ -934,3 +934,98 @@ def test_incremental_dedup_empty_corpus_and_invariance(spark):
         ).collect()
     }
     assert a == b and len(a) == 7
+
+
+def test_hll_distinct_matches_python_reference(spark):
+    """hll_distinct's estimate is a pure function of the data: a plain
+    Python HLL over the same md5-derived registers must reproduce it
+    bit-for-bit (round 6), and the exact count must be right."""
+    import hashlib
+    import re
+
+    from learnhtml_spark.functions.dedup import hll_distinct
+
+    rows = []
+    for i in range(300):
+        lang = ["en", "de"][i % 2]
+        # include exact dups (same text -> same fp) to split exact vs raw
+        rows.append((i, f"document number {i // 3} about {lang} topics", lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in hll_distinct(df, p=4, group="lang").collect()}
+
+    regs = {}
+    exact = {}
+    for _, text, lang in rows:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        exact.setdefault(lang, set()).add(fp)
+        h = int(fp[:13], 16)
+        b, w = h % 16, h // 16
+        r = min(49 if w == 0 else 49 - w.bit_length(), 40)
+        key = (lang, b)
+        regs[key] = max(regs.get(key, 0), r)
+    for lang in ("en", "de"):
+        s = sum(2.0 ** -regs[(lang, b)] for b in range(16) if (lang, b) in regs)
+        zeros = sum(1 for b in range(16) if (lang, b) not in regs)
+        s += float(zeros)
+        est = 0.673 * 256.0 / s
+        row = out[lang]
+        assert row["n_exact"] == len(exact[lang])
+        assert row["n_zero_buckets"] == zeros
+        assert row["hll_estimate"] == round(est, 6), lang
+        assert row["rel_error"] == round(
+            (est - len(exact[lang])) / len(exact[lang]), 6
+        )
+
+
+def test_hll_distinct_partitioning_invariant_and_validates(spark):
+    import pytest as _pytest
+
+    from learnhtml_spark.functions.dedup import hll_distinct
+
+    rows = [(i, f"text piece {i}", "src%d" % (i % 3)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, hll_distinct(df, p=5).collect()))
+    b = sorted(map(tuple, hll_distinct(df.repartition(13), p=5).collect()))
+    assert a == b  # register sums are order-exact doubles
+    with _pytest.raises(ValueError):
+        hll_distinct(df, p=12)
+
+
+def test_cluster_keepers_quality_argmax(spark):
+    """Keeper per transitive cluster = highest-quality member (ties to
+    smallest doc_id); singletons keep themselves."""
+    from learnhtml_spark.functions.dedup import cluster_keepers
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind distant purple mountains tonight")
+    rows = [
+        # near-dup cluster {1,2,3}: doc 2 is "fullest" (quality 900)
+        (1, base, 500),
+        (2, base + " extra", 900),
+        (3, base + " other", 900),   # quality tie with 2 -> keeper = 2
+        (4, "a completely unrelated short document about engines", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r for r in cluster_keepers(df).collect()}
+    assert len(out) == 4
+    cluster_of = {d: out[d]["cluster_id"] for d in out}
+    assert cluster_of[1] == cluster_of[2] == cluster_of[3]
+    assert cluster_of[4] != cluster_of[1]
+    for d in (1, 2, 3):
+        assert out[d]["keeper_id"] == 2
+    assert out[4]["keeper_id"] == 4
+    assert {d for d in out if out[d]["is_kept"]} == {2, 4}
+
+
+def test_cluster_keepers_no_per_cluster_window(spark):
+    # the keeper choice must be one aggregate, not a window over the
+    # (potentially huge) cluster
+    from learnhtml_spark.functions.dedup import cluster_keepers
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", i) for i in range(10)],
+        "doc_id long, text string, n_chars long",
+    )
+    plan = cluster_keepers(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
