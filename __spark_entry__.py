@@ -201,6 +201,72 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct(_docs(spark, sf_dir), p=4, group="lang")
 
 
+def _plant_pii(docs):
+    """Append deterministic synthetic PII to a fraction of docs (keyed on
+    doc_id) so the redaction path is exercised on data that, like the
+    rest of the corpus, contains none naturally.  Mirrored verbatim in
+    the oracle SQL."""
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    # PII redaction (emails / phones / IPv4 -> tokens) with per-pass
+    # counts; corpus text is synthetic, so plant deterministic PII first
+    from learnhtml_spark.functions.textstats import pii_scrub
+
+    return pii_scrub(_plant_pii(_docs(spark, sf_dir)))
+
+
+#: quality_gate thresholds used by the driver query AND its oracle SQL
+#: (generated from this dict — cannot drift); chosen to produce a real
+#: keep/violation mix on the synthetic corpus (n_words 10-99,
+#: dup_2gram_frac p90 ~0.065, top_word_frac p90 ~0.14 at sf0.01)
+_QG = {
+    "min_words": 25,
+    "max_words": 1000,
+    "min_word_len": 3.0,
+    "max_word_len": 6.0,
+    "max_dup_2gram": 0.08,
+    "max_top_word": 0.15,
+}
+
+
+def q_quality_gate(spark, sf_dir):
+    # Gopher-rules keep/drop verdicts with auditable first_violation
+    from learnhtml_spark.functions.textstats import quality_gate
+
+    return quality_gate(_docs(spark, sf_dir), **_QG)
+
+
 def q_unigram_lm(spark, sf_dir):
     # CCNet-style unigram-LM quality score (log-free ppm form)
     from learnhtml_spark.functions.textstats import unigram_lm_score
@@ -842,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_stats": q_dup_stats,
         "dup_rate_by_source": q_dup_rate_by_source,
         "hll_distinct": q_hll_distinct,
+        "pii_scrub": q_pii_scrub,
+        "quality_gate": q_quality_gate,
         "source_overlap": q_source_overlap,
         "unigram_lm": q_unigram_lm,
         "segment_dedup": q_segment_dedup,
@@ -1006,6 +1074,45 @@ select e.lang, e.n_exact, s.n_zero_buckets,
        round(0.673e0 * 256 / s.ssum, 6) as hll_estimate,
        round((0.673e0 * 256 / s.ssum - e.n_exact) / e.n_exact, 6) as rel_error
 from exact e join summ s using (lang)
+"""
+
+from learnhtml_spark.functions.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+# PII redaction: the planted-PII expression mirrors _plant_pii verbatim;
+# the regex patterns are the SAME constants the Spark operator uses
+# (verified to match identically under Java regex and RE2); counts are
+# per-pass on that pass's input, exactly as the operator computes them
+_PII_SCRUB_SQL = f"""
+with planted as (
+  select doc_id,
+         text
+         || case when doc_id % 7 = 0
+                 then ' contact user' || cast(doc_id as varchar) || '@example.com'
+                 else '' end
+         || case when doc_id % 11 = 0
+                 then ' call 555-123-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                 else '' end
+         || case when doc_id % 13 = 0
+                 then ' from 10.0.' || cast(doc_id % 256 as varchar) || '.7'
+                 else '' end as text
+  from documents
+),
+p as (
+  select doc_id, text as t0,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') as t1
+  from planted
+),
+q as (
+  select doc_id, t0, t1,
+         regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g') as t2
+  from p
+)
+select doc_id,
+       cast(len(regexp_extract_all(t0, '{PII_EMAIL}')) as bigint) as n_email,
+       cast(len(regexp_extract_all(t1, '{PII_PHONE}')) as bigint) as n_phone,
+       cast(len(regexp_extract_all(t2, '{PII_IPV4}')) as bigint) as n_ipv4,
+       regexp_replace(t2, '{PII_IPV4}', '<IP>', 'g') as clean_text
+from q
 """
 
 _SHINGLES_CTE = r"""
@@ -1232,6 +1339,21 @@ select n.doc_id, n.n_words, n.mean_word_len, n.dup_2gram_frac,
          as top_word_frac
 from narrow n left join top using (doc_id)
 """
+
+# the Gopher-rules filter over the same signals, thresholds generated
+# from the _QG dict the Spark query uses (cannot drift); verdicts
+# compare the 6dp-rounded signals, so they are bit-stable cross-engine
+_QUALITY_GATE_SQL = (
+    "select doc_id, fv as first_violation, fv = '' as keep from ("
+    "select doc_id, case "
+    f"when n_words < {_QG['min_words']} then 'too_few_words' "
+    f"when n_words > {_QG['max_words']} then 'too_many_words' "
+    f"when mean_word_len < {_QG['min_word_len']!r}e0 then 'short_words' "
+    f"when mean_word_len > {_QG['max_word_len']!r}e0 then 'long_words' "
+    f"when dup_2gram_frac > {_QG['max_dup_2gram']!r}e0 then 'repetitive' "
+    f"when top_word_frac > {_QG['max_top_word']!r}e0 then 'top_word_dominates' "
+    "else '' end as fv from (" + _GOPHER_SQL + ") g)"
+)
 
 _MINHASH_SQL = _sub_mh(_MINHASH_SQL)
 _NEARDUP_PIPE_SQL = _sub_mh(_NEARDUP_PIPE_SQL)
@@ -1990,6 +2112,8 @@ def oracle_sql() -> dict[str, str]:
             "count(*) * dup_count as n_docs from g group by dup_count"
         ),
         "hll_distinct": _HLL_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "quality_gate": _QUALITY_GATE_SQL,
         "dup_rate_by_source": (
             "with g as (select source, "
             "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp "

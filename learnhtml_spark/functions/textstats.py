@@ -335,3 +335,40 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t2, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
         t3.alias("clean_text"),
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+    max_dup_2gram: float = 0.3,
+    max_top_word: float = 0.3,
+) -> DataFrame:
+    """(doc_id, first_violation, keep): the Gopher-rules FILTER — the
+    composition step that turns ``gopher_quality``'s signals into the
+    keep/drop verdicts a corpus build actually applies, with an
+    AUDITABLE reason: ``first_violation`` names the first failing rule
+    in the fixed order (too_few_words, too_many_words, short_words,
+    long_words, repetitive, top_word_dominates) or '' for keepers.
+    Thresholds compare the 6dp-ROUNDED signals ``gopher_quality``
+    emits, so verdicts are bit-stable cross-engine.
+
+    Scale: inherits ``gopher_quality``'s shape (narrow exprs + two hash
+    aggs + one pk join); the verdict itself is a narrow CASE chain."""
+    g = gopher_quality(docs)
+    viol = (
+        F.when(F.col("n_words") < min_words, "too_few_words")
+        .when(F.col("n_words") > max_words, "too_many_words")
+        .when(F.col("mean_word_len") < min_word_len, "short_words")
+        .when(F.col("mean_word_len") > max_word_len, "long_words")
+        .when(F.col("dup_2gram_frac") > max_dup_2gram, "repetitive")
+        .when(F.col("top_word_frac") > max_top_word, "top_word_dominates")
+        .otherwise("")
+    )
+    return g.select(
+        "doc_id",
+        viol.alias("first_violation"),
+        (viol == "").alias("keep"),
+    )

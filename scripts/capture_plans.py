@@ -53,6 +53,8 @@ NOTES = {
     "hll_distinct": "deterministic HLL sketch: two map-side-combined hash aggs — (group, bucket) register max then per-group register sum (order-exact doubles); exact countDistinct rides along for the report (drop it at 10^12 rows — the sketch is the point)",
     "mixture_sample": "data-mixing sampler: broadcast rates allowlist join -> shared deterministic hash order -> skew-safe two-phase rank -> per-stratum integer-ratio bound",
     "cluster_keepers": "converged cluster labels -> pk join with quality column (AQE-sided) -> ONE min(struct(-q, id)) argmax aggregate per cluster -> keeper join back on cluster_id",
+    "pii_scrub": "pure narrow plan (JVM regexp redaction passes, map-only, zero shuffles)",
+    "quality_gate": "gopher signals (narrow exprs + two hash aggs + pk join) -> narrow CASE verdict chain",
 }
 
 

@@ -1029,3 +1029,68 @@ def test_cluster_keepers_no_per_cluster_window(spark):
     )
     plan = cluster_keepers(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" not in plan
+
+
+def test_pii_scrub_hand_checked(spark):
+    """Redaction + per-pass counts on adversarial cases: version strings
+    are not IPs, digits inside an already-redacted email are not
+    re-counted as phones, alpha-TLD requirement leaves user@1.2.3.4's
+    host for the ipv4 pass."""
+    from learnhtml_spark.functions.textstats import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@ex-am.co.uk or 10.0.0.255, call +4915112345678 "
+            "or 555-123-4567; not 1234-567-8901 and not v1.2.3.4beta"),
+        (2, "reach admin@1.2.3.4 please"),      # no alpha TLD: ip pass gets it
+        (3, "x +123456789012345 y 999.999.999.999 z"),
+        (4, ""),
+        (5, "plain text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (1, 2, 1)
+    assert r1["clean_text"] == (
+        "mail <EMAIL> or <IP>, call <PHONE> or <PHONE>; "
+        "not 1234-567-8901 and not v1.2.3.4beta"
+    )
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 1)
+    assert r2["clean_text"] == "reach admin@<IP> please"
+    assert (out[3]["n_phone"], out[3]["n_ipv4"]) == (1, 1)
+    assert out[4]["clean_text"] == ""
+    assert out[5]["clean_text"] == rows[4][1]
+
+
+def test_pii_scrub_narrow_plan(spark):
+    from learnhtml_spark.functions.textstats import pii_scrub
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only pass
+
+
+def test_quality_gate_verdicts_and_order(spark):
+    from learnhtml_spark.functions.textstats import quality_gate
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),  # keeper
+        (2, "tiny doc"),                                          # too few words
+        (3, "spam " * 40),                                        # repetitive (+ few distinct)
+        (4, "a b c d e f g h i j"),                               # short words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            df, min_words=5, min_word_len=2.0, max_dup_2gram=0.5
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["first_violation"] == ""
+    assert out[2]["first_violation"] == "too_few_words"
+    # doc 3: dup_2gram_frac ~ 1.0 > 0.5 but top_word check comes later;
+    # order is fixed, so the REPETITION rule must be the one named
+    assert out[3]["first_violation"] == "repetitive"
+    assert out[4]["first_violation"] == "short_words"
+    for d in (2, 3, 4):
+        assert not out[d]["keep"]
