@@ -267,6 +267,15 @@ def q_quality_gate(spark, sf_dir):
     return quality_gate(_docs(spark, sf_dir), **_QG)
 
 
+def q_corpus_build(spark, sf_dir):
+    # the full corpus-assembly pipeline in ONE declarative plan: exact
+    # dedup + LSH near-dup keepers + Gopher quality gate + benchmark
+    # decontamination, per-doc audit columns + final keep conjunction
+    from learnhtml_spark.functions.pipeline import corpus_build
+
+    return corpus_build(_docs(spark, sf_dir), gate_params=_QG)
+
+
 def q_unigram_lm(spark, sf_dir):
     # CCNet-style unigram-LM quality score (log-free ppm form)
     from learnhtml_spark.functions.textstats import unigram_lm_score
@@ -910,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "pii_scrub": q_pii_scrub,
         "quality_gate": q_quality_gate,
+        "corpus_build": q_corpus_build,
         "source_overlap": q_source_overlap,
         "unigram_lm": q_unigram_lm,
         "segment_dedup": q_segment_dedup,
@@ -1872,6 +1882,46 @@ from documents d left join hits h on d.doc_id = h.doc_id
 where d.doc_id not in (select doc_id from ev)
 """
 
+# corpus_build: composition of the four stage oracles — exact-keeper via
+# a per-fp window min, and the near-dup / quality-gate / decontaminate
+# queries embedded VERBATIM as subqueries, so the composed verdicts
+# cannot drift from the standalone ones
+_CORPUS_BUILD_SQL = (
+    r"""
+with ex0 as (
+  select doc_id,
+         min(doc_id) over (partition by
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) = doc_id
+           as is_exact_keeper
+  from documents
+),
+nd as (select doc_id, is_duplicate from ("""
+    + "{ND}"
+    + r""")),
+qg as (select doc_id, keep as quality_ok, first_violation from ("""
+    + "{QG}"
+    + r""")),
+dc as (select doc_id, contaminated from ("""
+    + "{DC}"
+    + r"""))
+select dc.doc_id,
+       ex0.is_exact_keeper,
+       coalesce(not nd.is_duplicate, true) as is_near_keeper,
+       qg.quality_ok, qg.first_violation, dc.contaminated,
+       ex0.is_exact_keeper and coalesce(not nd.is_duplicate, true)
+         and qg.quality_ok and not dc.contaminated as keep
+from dc
+join ex0 using (doc_id)
+left join nd using (doc_id)
+join qg using (doc_id)
+"""
+)
+_CORPUS_BUILD_SQL = (
+    _CORPUS_BUILD_SQL.replace("{ND}", _NEARDUP_GROUPS_SQL)
+    .replace("{QG}", _QUALITY_GATE_SQL)
+    .replace("{DC}", _DECONTAMINATE_SQL)
+)
+
 # bloom_decontaminate: identical double-hashed Bloom arithmetic as the
 # Spark operator — h1/h2 are the two 13-hex-digit halves of the gram md5,
 # probes (h1 + i*h2) % 32768, bitmap words of 32 bits bit_or-folded; the
@@ -2114,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "quality_gate": _QUALITY_GATE_SQL,
+        "corpus_build": _CORPUS_BUILD_SQL,
         "dup_rate_by_source": (
             "with g as (select source, "
             "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp "

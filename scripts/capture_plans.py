@@ -55,6 +55,7 @@ NOTES = {
     "cluster_keepers": "converged cluster labels -> pk join with quality column (AQE-sided) -> ONE min(struct(-q, id)) argmax aggregate per cluster -> keeper join back on cluster_id",
     "pii_scrub": "pure narrow plan (JVM regexp redaction passes, map-only, zero shuffles)",
     "quality_gate": "gopher signals (narrow exprs + two hash aggs + pk join) -> narrow CASE verdict chain",
+    "corpus_build": "four stage branches (exact fp agg, keeper-edge LSH, gopher gate, broadcast-eval decontaminate) -> three AQE-sized doc_id equi-joins; whole pipeline one plan",
 }
 
 

@@ -588,3 +588,48 @@ def test_mixture_sample_validates(spark):
         mixture_sample(df, {"a": (1, 0)})
     with _pytest.raises(ValueError):
         mixture_sample(df, {"a": (-1, 2)})
+
+
+def test_corpus_build_matches_standalone_stages(spark):
+    """corpus_build's per-stage flags must equal the standalone
+    operators' verdicts row-for-row, and keep must be their
+    conjunction, over a corpus that exercises every stage."""
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.chunking import decontaminate
+    from learnhtml_spark.functions.dedup import neardup_groups
+    from learnhtml_spark.functions.pipeline import corpus_build
+    from learnhtml_spark.functions.textstats import quality_gate
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant purple mountains tonight ")
+    rows = [(i, base + f"unique tail {i} " + " ".join(f"w{i}{j}" for j in range(10)))
+            for i in range(12)]
+    rows += [(20, rows[5][1]),                  # exact dup of doc 5
+             (21, rows[6][1] + " extra"),       # near dup of doc 6
+             (22, "tiny"),                      # quality violation
+             (23, base * 3)]                    # contaminated-ish vs eval docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_build(df, eval_n=3).collect()}
+    assert set(out) == {r[0] for r in rows if r[0] >= 3}  # eval docs 0,1,2 held out
+
+    nd = {r["doc_id"]: r["is_duplicate"] for r in neardup_groups(df).collect()}
+    qg = {r["doc_id"]: r for r in quality_gate(df).collect()}
+    dc = {r["doc_id"]: r["contaminated"] for r in decontaminate(df, eval_n=3).collect()}
+    fps = df.select("doc_id", F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fp")).collect()
+    by_fp = {}
+    for r in fps:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    exact_keeper = {d: d == min(by_fp[fp]) for fp, ds in by_fp.items() for d in ds for fp in [fp]}
+
+    for d, r in out.items():
+        assert r["is_exact_keeper"] == exact_keeper[d], d
+        assert r["is_near_keeper"] == (not nd.get(d, False)), d
+        assert r["quality_ok"] == qg[d]["keep"], d
+        assert r["first_violation"] == qg[d]["first_violation"], d
+        assert r["contaminated"] == dc[d], d
+        assert r["keep"] == (r["is_exact_keeper"] and r["is_near_keeper"]
+                             and r["quality_ok"] and not r["contaminated"]), d
+    assert not out[20]["is_exact_keeper"]   # exact dup dropped
+    assert not out[21]["is_near_keeper"]    # near dup dropped
+    assert not out[22]["quality_ok"]        # quality violation dropped
