@@ -267,6 +267,14 @@ def q_quality_gate(spark, sf_dir):
     return quality_gate(_docs(spark, sf_dir), **_QG)
 
 
+def q_contamination_report(spark, sf_dir):
+    # inverse decontamination: per benchmark item, how widely it leaks
+    # into the training corpus (docs hit + gram-pair hits, zeros kept)
+    from learnhtml_spark.functions.chunking import contamination_report
+
+    return contamination_report(_docs(spark, sf_dir))
+
+
 def q_corpus_build(spark, sf_dir):
     # the full corpus-assembly pipeline in ONE declarative plan: exact
     # dedup + LSH near-dup keepers + Gopher quality gate + benchmark
@@ -920,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quality_gate": q_quality_gate,
         "corpus_build": q_corpus_build,
+        "contamination_report": q_contamination_report,
         "source_overlap": q_source_overlap,
         "unigram_lm": q_unigram_lm,
         "segment_dedup": q_segment_dedup,
@@ -1882,6 +1891,39 @@ from documents d left join hits h on d.doc_id = h.doc_id
 where d.doc_id not in (select doc_id from ev)
 """
 
+# inverse decontamination: same toks/sh5/ev shingle CTEs as
+# _DECONTAMINATE_SQL, aggregated per EVAL doc; count(distinct) of corpus
+# docs + raw (doc, gram) pair count, zero-leak items restored
+_CONTAMINATION_REPORT_SQL = r"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(lower(trim(text)), '\s+') end as t
+  from documents
+),
+sh5 as (
+  select doc_id, unnest(list_distinct(list_filter(
+    case when len(t) < 5 then [array_to_string(t, ' ')]
+         else list_transform(range(1, len(t) - 3),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) end,
+    s -> trim(s) <> ''))) as shingle
+  from toks
+),
+ev as (select doc_id from documents order by doc_id limit 20),
+eg as (select s.doc_id as eval_doc_id, s.shingle from sh5 s join ev using (doc_id)),
+ph as (
+  select eg.eval_doc_id,
+         count(distinct s.doc_id) as n_docs_hit,
+         count(*) as n_gram_hits
+  from sh5 s join eg using (shingle)
+  where s.doc_id not in (select doc_id from ev)
+  group by eg.eval_doc_id
+)
+select ev.doc_id as eval_doc_id,
+       cast(coalesce(ph.n_docs_hit, 0) as bigint) as n_docs_hit,
+       cast(coalesce(ph.n_gram_hits, 0) as bigint) as n_gram_hits
+from ev left join ph on ev.doc_id = ph.eval_doc_id
+"""
+
 # corpus_build: composition of the four stage oracles — exact-keeper via
 # a per-fp window min, and the near-dup / quality-gate / decontaminate
 # queries embedded VERBATIM as subqueries, so the composed verdicts
@@ -2165,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "quality_gate": _QUALITY_GATE_SQL,
         "corpus_build": _CORPUS_BUILD_SQL,
+        "contamination_report": _CONTAMINATION_REPORT_SQL,
         "dup_rate_by_source": (
             "with g as (select source, "
             "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp "

@@ -470,3 +470,49 @@ def fuzzy_decontaminate(
             F.col("containment") >= F.lit(float(threshold)),
         )
     )
+
+
+def contamination_report(
+    docs: DataFrame, eval_n: int = 20, k: int = 5
+) -> DataFrame:
+    """(eval_doc_id, n_docs_hit, n_gram_hits): the INVERSE view of
+    ``decontaminate`` — per benchmark item, how widely it leaks into the
+    training corpus: ``n_docs_hit`` = corpus documents sharing at least
+    one distinct k-gram with this eval doc, ``n_gram_hits`` = total
+    (corpus doc, shared gram) pairs.  This is the report an eval-suite
+    owner reads to find which benchmark items are compromised (a
+    benchmark question pasted into a thousand blog posts shows up here
+    as one huge row), where ``decontaminate`` answers the corpus-side
+    question of which training docs to drop.
+
+    Plan: both eval-side branches are bounded by the eval suite
+    (broadcast); the corpus is shingled ONCE and streamed through a
+    broadcast join keyed on shingle — per-gram fan-out is bounded by
+    the number of eval docs containing that gram (<= eval_n).  Eval
+    items with zero leakage are restored by a left join (a clean
+    benchmark must appear as an explicit zero row)."""
+    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    eval_docs = docs.join(F.broadcast(eval_ids), "doc_id")
+    eg = shingles(eval_docs, k).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    corpus_sh = shingles(docs, k).join(
+        F.broadcast(eval_ids), "doc_id", "left_anti"
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(eg), "shingle")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_hit"),
+            F.count("*").alias("n_gram_hits"),
+        )
+    )
+    return (
+        eval_ids.select(F.col("doc_id").alias("eval_doc_id"))
+        .join(hits, "eval_doc_id", "left")
+        .select(
+            "eval_doc_id",
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
+        )
+    )

@@ -56,6 +56,7 @@ NOTES = {
     "pii_scrub": "pure narrow plan (JVM regexp redaction passes, map-only, zero shuffles)",
     "quality_gate": "gopher signals (narrow exprs + two hash aggs + pk join) -> narrow CASE verdict chain",
     "corpus_build": "four stage branches (exact fp agg, keeper-edge LSH, gopher gate, broadcast-eval decontaminate) -> three AQE-sized doc_id equi-joins; whole pipeline one plan",
+    "contamination_report": "eval grams broadcast (bounded by eval suite) -> one corpus shingle pass -> per-eval-doc agg + zero-leak restore join",
 }
 
 

@@ -633,3 +633,32 @@ def test_corpus_build_matches_standalone_stages(spark):
     assert not out[20]["is_exact_keeper"]   # exact dup dropped
     assert not out[21]["is_near_keeper"]    # near dup dropped
     assert not out[22]["quality_ok"]        # quality violation dropped
+
+
+def test_contamination_report_hand_checked(spark):
+    """Per-eval-doc leak stats: a corpus doc that pastes eval doc 0's
+    text shows up against eval item 0 only; clean eval items appear as
+    explicit zero rows; with disjoint eval gram sets the report's
+    n_gram_hits total equals decontaminate's n_hits total."""
+    from learnhtml_spark.functions.chunking import contamination_report, decontaminate
+
+    e0 = "alpha beta gamma delta epsilon zeta eta theta"
+    e1 = "one two three four five six seven eight"
+    e2 = "red orange yellow green blue indigo violet mauve"
+    rows = [
+        (0, e0), (1, e1), (2, e2),              # eval suite (3 smallest ids)
+        (10, "prefix words then " + e0),        # leaks eval 0
+        (11, "totally unrelated corpus content here"),
+        (12, e1 + " trailing suffix words"),    # leaks eval 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["eval_doc_id"]: r for r in contamination_report(df, eval_n=3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[2]["n_docs_hit"] == 0 and out[2]["n_gram_hits"] == 0
+    assert out[0]["n_docs_hit"] == 1 and out[0]["n_gram_hits"] > 0
+    assert out[1]["n_docs_hit"] == 1 and out[1]["n_gram_hits"] > 0
+    decon = decontaminate(df, eval_n=3).collect()
+    assert sum(r["n_hits"] for r in decon) == sum(
+        r["n_gram_hits"] for r in out.values()
+    )
+    assert {r["doc_id"] for r in decon if r["contaminated"]} == {10, 12}
