@@ -551,6 +551,20 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), k=3, centroids=_ivf_centroids())
 
 
+#: semdedup cosine threshold, shared by the Spark query and its oracle
+_SEMDEDUP_TAU = 0.5
+
+
+def q_semdedup(spark, sf_dir):
+    # SemDeDup-style semantic dedup: fitted-IVF cell assignment, then
+    # one-hop min-keeper over within-cell cosine >= tau
+    from learnhtml_spark.functions.similarity import semdedup
+
+    return semdedup(
+        _emb(spark, sf_dir), centroids=_ivf_centroids(), threshold=_SEMDEDUP_TAU
+    )
+
+
 def q_ivf_probe(spark, sf_dir):
     # IVF recall lever (BENCH.md): each vector indexed once, query side
     # probes its 2 nearest cells, per-cell winners re-ranked globally —
@@ -951,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe": q_ann_multiprobe,
         "ivf_topk": q_ivf_topk,
         "ivf_probe": q_ivf_probe,
+        "semdedup": q_semdedup,
         "embedding_neardup": q_embedding_neardup,
         "pca_project": q_pca_project,
         "doc_chunks": q_doc_chunks,
@@ -1746,6 +1761,46 @@ select vec_id, neighbor_id, sim, cast(rank as int) as rank from ranked where ran
 _IVF_TOPK_SQL = _ivf_topk_sql(1)
 _IVF_PROBE_SQL = _ivf_topk_sql(2)
 
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: the same fitted-centroid home-cell assignment as
+    the IVF oracles (identical literals + sequential-fold rounding), then
+    keeper = min vec_id over the within-cell rows with rounded cosine >=
+    tau (the self-join row supplies {self}: self-cosine rounds to 1.0)."""
+    from learnhtml_spark.functions.similarity import ivf_centroid_literals
+
+    cent = _ivf_centroids()
+    return (
+        r"""
+with cents as (
+  select unnest(range(0, """ + str(len(cent)) + r""")) as cid,
+         unnest(""" + ivf_centroid_literals(cent) + r"""::double[][]) as cemb
+),
+scored as (
+  select e.vec_id, e.embedding, c.cid,
+         row_number() over (partition by e.vec_id
+             order by round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      d -> e.embedding[d]::double * c.cemb[d])), 6) desc,
+                      c.cid asc) as crank
+  from embeddings e cross join cents c
+),
+home as (select vec_id, embedding, cid as cell from scored where crank = 1),
+sims as (
+  select a.vec_id, a.cell, b.vec_id as other,
+         round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) as sim
+  from home a join home b on a.cell = b.cell
+)
+select vec_id, cast(any_value(cell) as int) as cell,
+       min(other) as keeper_id,
+       min(other) = vec_id as is_kept
+from sims where sim >= """ + repr(float(_SEMDEDUP_TAU)) + r"""e0
+group by vec_id
+"""
+    )
+
+
+_SEMDEDUP_SQL = _semdedup_sql()
+
 # multiprobe-LSH oracle: same md5-derived hyperplane buckets at bits=4;
 # every vector is indexed in its home bucket only, and its query side
 # probes home + the 4 buckets at Hamming distance 1 — each (query, member)
@@ -2291,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe": _ANN_MULTIPROBE_SQL,
         "ivf_topk": _IVF_TOPK_SQL,
         "ivf_probe": _IVF_PROBE_SQL,
+        "semdedup": _SEMDEDUP_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "pca_project": _PCA_PROJECT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,

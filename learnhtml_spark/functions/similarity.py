@@ -738,3 +738,81 @@ def pca_project(embeddings: DataFrame, mean, components) -> DataFrame:
         f"pc{j + 1} double" for j in range(k)
     )
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
+
+
+def semdedup(embeddings: DataFrame, centroids, threshold: float = 0.5) -> DataFrame:
+    """(vec_id, cell, keeper_id, is_kept): SemDeDup-style semantic
+    deduplication (Abbas et al. 2023, arXiv:2303.09540) — coarse-quantize
+    every vector to its nearest fitted centroid (the same bit-stable IVF
+    assignment as ``ivf_topk``), then within each cell mark semantic
+    duplicates by EXACT pairwise cosine: a row's keeper is the smallest
+    vec_id in {self} ∪ {cell-mates with rounded sim >= threshold} — the
+    one-hop min-keeper semantics of ``neardup_groups``, with embedding
+    cosine in place of shingle Jaccard.  ``is_kept`` rows are the
+    semantically-deduplicated corpus.
+
+    Scale: centroid matrix broadcast into one narrow mapInPandas
+    assignment, ONE shuffle (groupBy cell), one numpy gram per cell —
+    O(Σ n_cell²) confined to cells, whose size the operator controls via
+    the centroid count (SemDeDup's own scaling contract: centroids grow
+    with the corpus so cells stay bounded); no pair materialization, the
+    keeper fold happens inside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    id_t = _id_schema(embeddings).split(" ")[1]
+    cent_unit = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cent_unit)
+
+    def assign(batches):
+        cu = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = ivf_assign_cells(_emb_f64(pdf["embedding"]), cu)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema=f"vec_id {id_t}, cell int, embedding array<float>"
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "keeper_id": [], "is_kept": []}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = _emb_f64(pdf["embedding"])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = _round6(unit @ unit.T)
+        mask = sims >= threshold
+        np.fill_diagonal(mask, True)
+        if _ids_vectorizable(ids):
+            iid = ids.astype(np.int64)
+            masked = np.where(mask, iid[None, :], np.iinfo(np.int64).max)
+            keep = masked.min(axis=1).astype(ids.dtype)
+        else:
+            keep = np.array([min(ids[mask[i]]) for i in range(n)])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "keeper_id": keep,
+                "is_kept": keep == ids,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell,
+        schema=f"vec_id {id_t}, cell int, keeper_id {id_t}, is_kept boolean",
+    )

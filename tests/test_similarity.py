@@ -393,3 +393,40 @@ def test_pca_project_matches_numpy_and_artifact_roundtrip(emb):
     for i, vid in enumerate(ids):
         assert got[vid][0] == pytest.approx(want[i, 0], abs=2e-6)
         assert got[vid][1] == pytest.approx(want[i, 1], abs=2e-6)
+
+
+def test_semdedup_keeper_semantics_and_invariance(spark):
+    """Hand-built geometry: two orthogonal centroid directions; three
+    near-identical vectors land in one cell and collapse to the smallest
+    id; the orthogonal vector keeps itself in its own cell.  Result is
+    invariant under input partitioning."""
+    from learnhtml_spark.functions.similarity import semdedup
+
+    cents = np.zeros((2, 4))
+    cents[0, 0] = 1.0
+    cents[1, 1] = 1.0
+    rows = [
+        (10, [1.0, 0.0, 0.01, 0.0]),
+        (11, [0.99, 0.0, 0.0, 0.02]),      # near-dup of 10
+        (12, [1.0, 0.01, 0.0, 0.0]),       # near-dup of 10
+        (20, [0.0, 1.0, 0.0, 0.0]),        # other cell, unique
+        (21, [0.0, 0.9, 0.3, 0.1]),        # same cell as 20, sim ~0.93
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, cents, threshold=0.9).collect()}
+    assert len(out) == 5
+    assert out[10]["cell"] == out[11]["cell"] == out[12]["cell"] == 0
+    assert out[20]["cell"] == out[21]["cell"] == 1
+    for v in (10, 11, 12):
+        assert out[v]["keeper_id"] == 10
+    assert out[20]["keeper_id"] == 20 and out[20]["is_kept"]
+    assert out[21]["keeper_id"] == 20 and not out[21]["is_kept"]
+    assert {v for v in out if out[v]["is_kept"]} == {10, 20}
+    out2 = {
+        r["vec_id"]: r["keeper_id"]
+        for r in semdedup(df.repartition(5), cents, threshold=0.9).collect()
+    }
+    assert out2 == {v: out[v]["keeper_id"] for v in out}
+    # raising the bar to > any within-cell sim keeps everything
+    all_kept = semdedup(df, cents, threshold=0.999999).collect()
+    assert all(r["is_kept"] for r in all_kept)
