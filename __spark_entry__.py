@@ -671,6 +671,14 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), rates=_MIXTURE_RATES)
 
 
+def q_quantile_filter(spark, sf_dir):
+    # FineWeb-style quality-quantile pruning: keep each source's top
+    # quarter by n_chars (exact integer-ratio cut, skew-safe rank)
+    from learnhtml_spark.functions.windows import quantile_filter
+
+    return quantile_filter(_docs(spark, sf_dir), num=1, den=4)
+
+
 def q_media_features(spark, sf_dir):
     # multimodal decode path on REAL bytes end-to-end: deterministic
     # BMP/PCM-WAV payloads synthesized per doc (encoders are exact
@@ -974,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "quantile_filter": q_quantile_filter,
         "media_features": q_media_features,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -2081,6 +2090,20 @@ r as (
 select doc_id, source from r where rk * 5 <= n * 1
 """
 
+# quality-quantile pruning: top floor(n*1/4) per source by n_chars desc,
+# ties to smallest doc_id — same integer-ratio bound as the samplers
+_QUANTILE_FILTER_SQL = r"""
+with r as (
+  select doc_id, source, n_chars,
+         row_number() over (partition by source
+                            order by n_chars desc, doc_id asc) as rk,
+         count(*) over (partition by source) as n
+  from documents
+)
+select doc_id, source, cast(n_chars as bigint) as n_chars
+from r where rk * 4 <= n * 1
+"""
+
 # data-mixing sampler: the rates VALUES list is generated from the same
 # _MIXTURE_RATES dict the Spark query uses, so spec and oracle cannot
 # drift; unlisted sources drop out via the inner join, num=0 keeps a
@@ -2356,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
+        "quantile_filter": _QUANTILE_FILTER_SQL,
         # media_features: binary synthesis + decode is not SQL-expressible;
         # rows-only driver check (encoders/decoders are inverse-tested in
         # tests/test_tables_streaming.py)

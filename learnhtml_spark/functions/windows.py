@@ -58,6 +58,43 @@ def _chunk_boundaries(docs, group, order, n_chunks, seed=42, per_chunk=64):
     return bounds
 
 
+#: padded-key complement base: metric values must live in [0, _BIG)
+_BIG = 1_000_000_000_000_000_000
+
+
+def _desc_metric_key(op_name: str, metric: str, id_col: str):
+    """Zero-padded ``(10^18 - metric)|id`` string key whose lexicographic
+    order equals (metric DESC, id ASC) — shared by ``group_topk`` and
+    ``quantile_filter``.  A negative metric/id would format with a '-'
+    that sorts before every digit and silently corrupt the order
+    (ADVICE r4); out-of-range rows fail the job with a clear
+    ``raise_error`` instead — a plan-level guard, zero cost on valid
+    data."""
+    mcol = F.col(metric).cast("long")
+    guarded = F.when(
+        (mcol < 0) | (mcol >= _BIG) | F.col(metric).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op_name}: metric '{metric}' must be a non-null "
+                    "integer in [0, 10^18) for the padded-key encoding; got "
+                ),
+                F.coalesce(F.col(metric).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(mcol)
+    id_guard = F.when(
+        (F.col(id_col).cast("long") < 0) | F.col(id_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: id '{id_col}' must be non-null and >= 0; got "),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col).cast("long"))
+    return F.format_string("%019d|%019d", F.lit(_BIG) - guarded, id_guard)
+
+
 def group_topk(
     docs: DataFrame,
     group: str = "source",
@@ -81,31 +118,8 @@ def group_topk(
     (ADVICE r4).  Out-of-range rows fail the job with a clear
     ``raise_error`` instead — the guard is a plan-level expression, zero
     cost on valid data.  The metric is returned in its input dtype."""
-    big = 1_000_000_000_000_000_000
+    key = _desc_metric_key("group_topk", metric, id_col)
     metric_type = docs.schema[metric].dataType.simpleString()
-    mcol = F.col(metric).cast("long")
-    guarded = F.when(
-        (mcol < 0) | (mcol >= big) | F.col(metric).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"group_topk: metric '{metric}' must be a non-null "
-                    "integer in [0, 10^18) for the padded-key encoding; got "
-                ),
-                F.coalesce(F.col(metric).cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(mcol)
-    id_guard = F.when(
-        (F.col(id_col).cast("long") < 0) | F.col(id_col).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(f"group_topk: id '{id_col}' must be non-null and >= 0; got "),
-                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(F.col(id_col).cast("long"))
-    key = F.format_string("%019d|%019d", F.lit(big) - guarded, id_guard)
     base = docs.select(id_col, group, metric).withColumn("_ord", key)
     ranked = sibling_positions(
         base, group=group, order="_ord", out="_rank",
@@ -117,10 +131,55 @@ def group_topk(
         .select(
             parts.getItem(1).cast("long").alias(id_col),
             group,
-            (F.lit(big) - parts.getItem(0).cast("long"))
+            (F.lit(_BIG) - parts.getItem(0).cast("long"))
             .cast(metric_type)
             .alias(metric),
             (F.col("_rank") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
+def quantile_filter(
+    docs: DataFrame,
+    group: str = "source",
+    metric: str = "n_chars",
+    id_col: str = "doc_id",
+    num: int = 1,
+    den: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id_col, group, metric): keep the TOP ``floor(n_group * num /
+    den)`` rows per group by ``metric`` descending (ties to the smallest
+    id) — quality-quantile pruning, the FineWeb-style "keep each
+    source's best quarter" step, as a fraction where ``group_topk`` is a
+    count.  The integer-ratio bound (``stratified_sample``'s) makes the
+    cut exact and engine-stable — no floating quantile threshold.
+
+    Scale: the same skew-safe two-phase rank as ``group_topk`` (no
+    whole-group window or sort) plus one broadcast-sized per-group count
+    join; the guarded padded key fails loudly on negative/overflow
+    metrics instead of silently mis-ranking."""
+    if not (0 <= num <= den and den > 0):
+        raise ValueError("quantile_filter: need 0 <= num <= den, den > 0")
+    key = _desc_metric_key("quantile_filter", metric, id_col)
+    metric_type = docs.schema[metric].dataType.simpleString()
+    base = docs.select(id_col, group, metric).withColumn("_ord", key)
+    ranked = sibling_positions(
+        base, group=group, order="_ord", out="_rank",
+        num_partitions=num_partitions,
+    )
+    counts = base.groupBy(group).agg(F.count("*").alias("_n"))
+    parts = F.split(F.col("_ord"), r"\|")
+    return (
+        ranked.join(F.broadcast(counts), group)
+        # 0-based rank: keep ranks 0 .. floor(n*num/den)-1
+        .filter((F.col("_rank") + 1) * F.lit(den) <= F.col("_n") * F.lit(num))
+        .select(
+            parts.getItem(1).cast("long").alias(id_col),
+            group,
+            (F.lit(_BIG) - parts.getItem(0).cast("long"))
+            .cast(metric_type)
+            .alias(metric),
         )
     )
 

@@ -662,3 +662,38 @@ def test_contamination_report_hand_checked(spark):
         r["n_gram_hits"] for r in out.values()
     )
     assert {r["doc_id"] for r in decon if r["contaminated"]} == {10, 12}
+
+
+def test_quantile_filter_matches_naive_window(spark):
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from learnhtml_spark.functions.windows import quantile_filter
+
+    rows = [(i, f"s{i % 3}", (i * 37) % 500) for i in range(90)] + [
+        (1000 + i, "big", (i * 13) % 400) for i in range(300)  # skewed group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in quantile_filter(df, num=1, den=4).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    naive = (
+        df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+        .filter(F.col("rk") * 4 <= F.col("n"))
+    )
+    want = {(r["doc_id"], r["source"], r["n_chars"]) for r in naive.collect()}
+    assert got == want
+    per = {}
+    for _, s, _n in got:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 7, "s1": 7, "s2": 7, "big": 75}  # floor(30/4), floor(300/4)
+    with _pytest.raises(ValueError):
+        quantile_filter(df, num=5, den=4)
+    # negative metric fails loudly (shared guarded key)
+    bad = spark.createDataFrame([(1, "a", -3)], "doc_id long, source string, n_chars long")
+    with _pytest.raises(Exception, match="quantile_filter"):
+        quantile_filter(bad).collect()
