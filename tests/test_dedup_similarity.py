@@ -1094,3 +1094,58 @@ def test_quality_gate_verdicts_and_order(spark):
     assert out[4]["first_violation"] == "short_words"
     for d in (2, 3, 4):
         assert not out[d]["keep"]
+
+
+def test_pii_scrub_fuzz_matches_python_reference(spark):
+    """Sequential-redaction semantics replayed in plain Python `re` over
+    a deterministic adversarial corpus (emails, phones, IPs, near-miss
+    lookalikes, unicode) — pins the operator against regex-engine
+    drift."""
+    import re
+
+    from learnhtml_spark.functions.textstats import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        pii_scrub,
+    )
+
+    frags = [
+        "a@b.co", "a@b.c", "x.y-z@ex.co.uk", "@nope", "user@[1.2.3.4]",
+        "+123456789", "+12345678", "123-456-7890", "123-4567-8901",
+        "12-345-6789", "1.2.3.4", "10.255.0.1", "999.999.999.999",
+        "1.2.3.4.5", "v1.2.3.4", "word", "héllo wörld", "a+b@c.dd e",
+    ]
+    rows = []
+    for i in range(60):
+        parts = [frags[(i * 7 + j * 3) % len(frags)] for j in range(1 + i % 6)]
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for i, text in rows:
+        t0 = text
+        t1 = re.sub(PII_EMAIL, "<EMAIL>", t0)
+        t2 = re.sub(PII_PHONE, "<PHONE>", t1)
+        t3 = re.sub(PII_IPV4, "<IP>", t2)
+        r = got[i]
+        assert r["clean_text"] == t3, (i, text)
+        assert r["n_email"] == len(re.findall(PII_EMAIL, t0)), (i, text)
+        assert r["n_phone"] == len(re.findall(PII_PHONE, t1)), (i, text)
+        assert r["n_ipv4"] == len(re.findall(PII_IPV4, t2)), (i, text)
+
+
+def test_hll_distinct_register_sum_exactness_large(spark):
+    """1200 distinct one-group fingerprints: repartitioning the input 7
+    ways must reproduce the estimate BIT-for-bit (the capped-rank
+    exactness argument, exercised well past the register count)."""
+    from learnhtml_spark.functions.dedup import hll_distinct
+
+    rows = [(i, f"wholly distinct text number {i}", "g") for i in range(1200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = hll_distinct(df, p=6).collect()[0]
+    b = hll_distinct(df.repartition(7), p=6).collect()[0]
+    assert a["hll_estimate"] == b["hll_estimate"]
+    assert a["n_exact"] == 1200
+    # raw estimator in its validity regime (>= 2.5m = 160 distincts):
+    # within ~3 standard errors (1.04/sqrt(64) ~ 13%)
+    assert abs(a["rel_error"]) < 0.4

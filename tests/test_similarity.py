@@ -430,3 +430,36 @@ def test_semdedup_keeper_semantics_and_invariance(spark):
     # raising the bar to > any within-cell sim keeps everything
     all_kept = semdedup(df, cents, threshold=0.999999).collect()
     assert all(r["is_kept"] for r in all_kept)
+
+
+def test_semdedup_threshold_monotone_and_cell_consistency(spark):
+    """Raising tau can only keep MORE rows (fewer pairs clear the bar),
+    and cell assignment must agree with ivf_topk's fitted-mode
+    assignment on the same centroids."""
+    import numpy as np
+
+    from learnhtml_spark.functions.similarity import (
+        _emb_f64,
+        ivf_assign_cells,
+        semdedup,
+    )
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(4, 8)
+    cents /= np.sqrt((cents * cents).sum(axis=1))[:, None]
+    base = rng.randn(30, 8)
+    rows = [(i, [float(x) for x in base[i % 30] + 0.05 * rng.randn(8) * (i // 30)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {}
+    for tau in (0.7, 0.9, 0.99):
+        out = semdedup(df, cents, threshold=tau).collect()
+        kept[tau] = {r["vec_id"] for r in out if r["is_kept"]}
+        cells = {r["vec_id"]: r["cell"] for r in out}
+    assert kept[0.7] <= kept[0.9] <= kept[0.99]
+    import pandas as pd
+
+    pdf = pd.DataFrame({"embedding": [r[1] for r in rows]})
+    want = ivf_assign_cells(_emb_f64(pdf["embedding"]), cents)
+    for i, (vid, _) in enumerate(rows):
+        assert cells[vid] == want[i]
