@@ -565,6 +565,24 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+#: embedding_decontaminate eval size + cosine bar, shared with the oracle
+#: (tau 0.35 sits inside the synthetic corpus' max-sim distribution so the
+#: verdict column carries both outcomes; the operator default 0.95 is the
+#: production bar for near-verbatim semantic leaks)
+_EMB_DECON_EVAL_N = 20
+_EMB_DECON_TAU = 0.35
+
+
+def q_embedding_decontaminate(spark, sf_dir):
+    # semantic decontamination: max cosine of every corpus vector vs the
+    # broadcast eval matrix — one narrow pass, zero shuffles/joins
+    from learnhtml_spark.functions.similarity import embedding_decontaminate
+
+    return embedding_decontaminate(
+        _emb(spark, sf_dir), eval_n=_EMB_DECON_EVAL_N, threshold=_EMB_DECON_TAU
+    )
+
+
 def q_ivf_probe(spark, sf_dir):
     # IVF recall lever (BENCH.md): each vector indexed once, query side
     # probes its 2 nearest cells, per-cell winners re-ranked globally —
@@ -974,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_probe": q_ivf_probe,
         "semdedup": q_semdedup,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "embedding_neardup": q_embedding_neardup,
         "pca_project": q_pca_project,
         "doc_chunks": q_doc_chunks,
@@ -1810,6 +1829,30 @@ group by vec_id
 
 _SEMDEDUP_SQL = _semdedup_sql()
 
+_EMB_DECON_SQL = rf"""
+with eval as (
+  select vec_id, embedding from embeddings order by vec_id limit {_EMB_DECON_EVAL_N}
+),
+corpus as (
+  select vec_id, embedding from embeddings
+  where vec_id > (select max(vec_id) from eval)
+),
+sims as (
+  select c.vec_id as vec_id, e.vec_id as eval_id,
+         round(list_cosine_similarity(c.embedding::double[], e.embedding::double[]), 6) as sim
+  from corpus c cross join eval e
+),
+best as (
+  select vec_id, sim, eval_id,
+         row_number() over (partition by vec_id
+                            order by sim desc, eval_id asc) as rn
+  from sims
+)
+select vec_id, sim as max_sim, eval_id as nearest_eval_id,
+       sim >= {_EMB_DECON_TAU} as contaminated
+from best where rn = 1
+"""
+
 # multiprobe-LSH oracle: same md5-derived hyperplane buckets at bits=4;
 # every vector is indexed in its home bucket only, and its query side
 # probes home + the 4 buckets at Hamming distance 1 — each (query, member)
@@ -2370,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_TOPK_SQL,
         "ivf_probe": _IVF_PROBE_SQL,
         "semdedup": _SEMDEDUP_SQL,
+        "embedding_decontaminate": _EMB_DECON_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "pca_project": _PCA_PROJECT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,

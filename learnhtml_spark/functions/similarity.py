@@ -816,3 +816,82 @@ def semdedup(embeddings: DataFrame, centroids, threshold: float = 0.5) -> DataFr
         per_cell,
         schema=f"vec_id {id_t}, cell int, keeper_id {id_t}, is_kept boolean",
     )
+
+
+def embedding_decontaminate(
+    embeddings: DataFrame, eval_n: int = 20, threshold: float = 0.95
+) -> DataFrame:
+    """(vec_id, max_sim, nearest_eval_id, contaminated): SEMANTIC
+    decontamination — the embedding-space twin of the n-gram family
+    (``chunking.decontaminate`` exact, ``fuzzy_decontaminate``,
+    ``bloom_decontaminate``).  The first ``eval_n`` vectors by vec_id
+    are the held-out benchmark set (the same deterministic eval-set
+    rule as ``chunking.decontaminate``); every remaining corpus vector
+    reports its max rounded cosine against the eval set, the smallest
+    eval id attaining it, and a ``contaminated`` verdict at
+    ``threshold`` (paraphrased/translated benchmark leaks that n-gram
+    overlap misses).
+
+    Scale shape: the eval matrix is SMALL BY CONSTRUCTION (eval_n ×
+    dims — benchmark suites are 10^3-10^5 rows, never corpus-sized),
+    fetched in one TakeOrderedAndProject job and broadcast; the corpus
+    side is ONE narrow mapInPandas pass — per Arrow batch a
+    (batch × dims) @ (dims × eval_n) gram + rowwise max/argmax.  ZERO
+    shuffles and no join: because the eval set is "first eval_n ids",
+    corpus membership is the scan-pushed filter ``vec_id > max eval
+    id``, never an anti-join.  Beyond-reference operator (learnhtml has
+    no embedding tooling); decontamination practice per Brown et al.
+    2020 appendix C / Touvron et al. 2023."""
+    import numpy as np
+    import pandas as pd
+
+    if eval_n < 1:
+        raise ValueError("eval_n must be >= 1")
+    spark = embeddings.sparkSession
+    id_t = _id_schema(embeddings).split(" ")[1]
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(eval_n)
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids, kind="stable")
+    eval_ids = ids[order]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    cutoff = eval_ids[-1]
+    bc = spark.sparkContext.broadcast((eval_ids, mat / norms[:, None]))
+
+    def run(batches):
+        e_ids, e_unit = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _emb_f64(pdf["embedding"])
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = 1.0
+            sims = _round6((q / qn[:, None]) @ e_unit.T)
+            # argmax returns the FIRST max column; columns ascend by
+            # eval id, so ties resolve to the smallest eval id — the
+            # oracle's (sim desc, eval_id asc) rank-1 row
+            j = sims.argmax(axis=1)
+            best = sims[np.arange(len(sims)), j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "max_sim": best,
+                    "nearest_eval_id": e_ids[j],
+                    "contaminated": best >= threshold,
+                }
+            )
+
+    corpus = embeddings.filter(F.col("vec_id") > F.lit(int(cutoff)))
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        run,
+        schema=(
+            f"vec_id {id_t}, max_sim double, "
+            f"nearest_eval_id {id_t}, contaminated boolean"
+        ),
+    )

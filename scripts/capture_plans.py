@@ -57,6 +57,7 @@ NOTES = {
     "quality_gate": "gopher signals (narrow exprs + two hash aggs + pk join) -> narrow CASE verdict chain",
     "corpus_build": "four stage branches (exact fp agg, keeper-edge LSH, gopher gate, broadcast-eval decontaminate) -> three AQE-sized doc_id equi-joins; whole pipeline one plan",
     "contamination_report": "eval grams broadcast (bounded by eval suite) -> one corpus shingle pass -> per-eval-doc agg + zero-leak restore join",
+    "embedding_decontaminate": "semantic decontamination: eval matrix broadcast (small by construction) -> ONE narrow mapInPandas gram pass; vec_id>cutoff pushed to the parquet scan, ZERO exchanges",
     "semdedup": "SemDeDup: centroid broadcast -> narrow cell assignment (mapInPandas) -> ONE shuffle -> per-cell gram + in-kernel min-keeper fold (no pair rows)",
     "quantile_filter": "guarded padded desc key -> skew-safe two-phase rank -> broadcast per-group counts -> integer-ratio cut",
 }

@@ -463,3 +463,75 @@ def test_semdedup_threshold_monotone_and_cell_consistency(spark):
     want = ivf_assign_cells(_emb_f64(pdf["embedding"]), cents)
     for i, (vid, _) in enumerate(rows):
         assert cells[vid] == want[i]
+
+
+def test_embedding_decontaminate_matches_bruteforce(spark):
+    """Max-cosine verdicts vs a plain numpy all-pairs oracle, including
+    the smallest-eval-id tie-break and partitioning invariance."""
+    import numpy as np
+
+    from learnhtml_spark.functions.similarity import (
+        _round6,
+        embedding_decontaminate,
+    )
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(50, 6)
+    mat[30] = mat[2]          # corpus row identical to eval row 2
+    mat[31] = 2.0 * mat[7]    # scaled copy: cosine 1.0 vs eval row 7
+    mat[32] = 0.0             # zero vector: guarded norm, sim 0 everywhere
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r["vec_id"]: r for r in
+           embedding_decontaminate(df, eval_n=10, threshold=0.9).collect()}
+    assert set(out) == set(range(10, 50))
+
+    # numpy oracle over the float32-widened values (what Spark stores)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norms = np.sqrt((m32 * m32).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = m32 / norms[:, None]
+    sims = _round6(unit[10:] @ unit[:10].T)
+    for i in range(10, 50):
+        s = sims[i - 10]
+        j = int(s.argmax())
+        r = out[i]
+        assert r["max_sim"] == s[j], i
+        assert r["nearest_eval_id"] == j, i
+        assert r["contaminated"] == bool(s[j] >= 0.9), i
+    assert out[30]["contaminated"] and out[30]["nearest_eval_id"] == 2
+    assert out[31]["contaminated"] and out[31]["nearest_eval_id"] == 7
+    assert not out[32]["contaminated"] and out[32]["max_sim"] == 0.0
+
+    # repartitioning must not change a single row
+    again = {r["vec_id"]: r for r in
+             embedding_decontaminate(df.repartition(7), eval_n=10,
+                                     threshold=0.9).collect()}
+    assert all(tuple(again[i]) == tuple(out[i]) for i in out)
+
+
+def test_embedding_decontaminate_edges(spark):
+    """eval set swallowing the whole corpus yields an empty result; a
+    duplicated eval vector resolves ties to the smaller eval id."""
+    import numpy as np
+
+    from learnhtml_spark.functions.similarity import embedding_decontaminate
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(8, 4)
+    mat[1] = mat[4]  # eval ids 1 and 4 identical
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert embedding_decontaminate(df, eval_n=8).count() == 0
+    near = rows[1][1][:]
+    df2 = spark.createDataFrame(rows + [(99, near)],
+                                "vec_id long, embedding array<float>")
+    out = embedding_decontaminate(df2, eval_n=8, threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["nearest_eval_id"] == 1
+    assert out[0]["contaminated"] and out[0]["max_sim"] == 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        embedding_decontaminate(df, eval_n=0)
