@@ -887,7 +887,13 @@ def embedding_decontaminate(
                 }
             )
 
-    corpus = embeddings.filter(F.col("vec_id") > F.lit(int(cutoff)))
+    # .item() unwraps the numpy scalar for F.lit; string ids pass through
+    # (orderBy, the cutoff comparison and the argmax tie-break are all the
+    # same lexicographic order there — self-consistent, and consistent
+    # with the oracle's ORDER BY)
+    corpus = embeddings.filter(
+        F.col("vec_id") > F.lit(cutoff.item() if hasattr(cutoff, "item") else cutoff)
+    )
     return corpus.select("vec_id", "embedding").mapInPandas(
         run,
         schema=(

@@ -535,3 +535,20 @@ def test_embedding_decontaminate_edges(spark):
 
     with pytest.raises(ValueError):
         embedding_decontaminate(df, eval_n=0)
+
+
+def test_embedding_decontaminate_string_ids(spark):
+    """String vec_ids: eval set, cutoff filter and tie-break all follow
+    one lexicographic order (and the schema carries the id type)."""
+    import numpy as np
+
+    from learnhtml_spark.functions.similarity import embedding_decontaminate
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(6, 4)
+    rows = [(f"id{i}", [float(x) for x in mat[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = embedding_decontaminate(df, eval_n=3, threshold=0.99).collect()
+    assert {r["vec_id"] for r in out} == {"id3", "id4", "id5"}
+    assert all(r["nearest_eval_id"] in {"id0", "id1", "id2"} for r in out)
+    assert dict(out[0].asDict())["max_sim"] <= 1.0
