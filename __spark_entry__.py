@@ -299,6 +299,20 @@ def q_segment_dedup(spark, sf_dir):
     return segment_dedup(_docs(spark, sf_dir), seg_tokens=10)
 
 
+#: exact_substr_dedup window (tokens), shared with the oracle — 8 keeps
+#: duplicated spans present in the synthetic corpus (production default
+#: in the operator is Lee et al.'s 50)
+_XSUB_W = 8
+
+
+def q_exact_substr_dedup(spark, sf_dir):
+    # ExactSubstr (Lee et al. 2022): overlapping duplicated w-token spans
+    # cut from all but the first corpus occurrence, intervals merged
+    from learnhtml_spark.functions.dedup import exact_substr_dedup
+
+    return exact_substr_dedup(_docs(spark, sf_dir), window=_XSUB_W)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from learnhtml_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -972,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "unigram_lm": q_unigram_lm,
         "segment_dedup": q_segment_dedup,
+        "exact_substr_dedup": q_exact_substr_dedup,
         "dedup_stream": q_dedup_stream,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1943,6 +1958,59 @@ select doc_id, cast(count(*) as int) as n_segs,
 from kept group by doc_id
 """
 
+_XSUB_SQL = rf"""
+with toks as (
+  select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
+       else regexp_split_to_array(trim(text), '\s+') end as t
+  from documents
+),
+base as (select doc_id, t, len(t) as n from toks where len(t) > 0),
+wins as (
+  select doc_id, cast(u.i as int) as pos,
+         md5(lower(array_to_string(t[u.i + 1 : u.i + {_XSUB_W}], ' '))) as span_key,
+         printf('%019d|%09d', doc_id, u.i) as skey
+  from base, unnest(range(0, n - {_XSUB_W} + 1)) as u(i)
+  where n >= {_XSUB_W}
+),
+marked as (
+  select doc_id, pos from (
+    select doc_id, pos,
+           skey = min(skey) over (partition by span_key) as keep
+    from wins) where not keep
+),
+flagged as (
+  select doc_id, pos,
+         case when pos > coalesce(max(pos + {_XSUB_W}) over (
+                  partition by doc_id order by pos
+                  rows between unbounded preceding and 1 preceding), -1)
+              then 1 else 0 end as flag
+  from marked
+),
+islands as (
+  select doc_id, min(pos) as s, max(pos) + {_XSUB_W} as e
+  from (select doc_id, pos,
+               sum(flag) over (partition by doc_id order by pos
+                    rows between unbounded preceding and current row) as island
+        from flagged)
+  group by doc_id, island
+),
+per_doc as (
+  select doc_id, cast(count(*) as int) as n_dup_spans,
+         cast(sum(e - s) as int) as n_removed,
+         list(struct_pack(s := s, e := e)) as iv
+  from islands group by doc_id
+)
+select b.doc_id, cast(b.n as int) as n_tokens,
+       coalesce(p.n_dup_spans, 0) as n_dup_spans,
+       coalesce(p.n_removed, 0) as n_removed,
+       coalesce(array_to_string(
+         list_filter(b.t, (x, i) ->
+           len(list_filter(coalesce(p.iv, []),
+                           v -> v.s + 1 <= i and i <= v.e)) = 0),
+         ' '), '') as clean_text
+from base b left join per_doc p using (doc_id)
+"""
+
 _DOC_CHUNKS_SQL = r"""
 with toks as (
   select doc_id, case when length(trim(text)) = 0 then cast([] as varchar[])
@@ -2418,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": _PCA_PROJECT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "segment_dedup": _SEGMENT_DEDUP_SQL,
+        "exact_substr_dedup": _XSUB_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,

@@ -955,3 +955,127 @@ def incremental_dedup(
             F.col("matched").isNotNull().alias("is_dup_of_corpus"),
         )
     )
+
+
+def exact_substr_dedup(docs: DataFrame, window: int = 50) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_spans, n_removed, clean_text): ExactSubstr
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): every OVERLAPPING
+    ``window``-token span that occurs verbatim (case-insensitive) more
+    than once corpus-wide is cut from all but its first occurrence
+    (first = smallest (doc_id, pos)); overlapping/adjacent marked spans
+    are merged per document before cutting, and the survivors are
+    reassembled in original token order.
+
+    Where ``segment_dedup`` cuts on fixed non-overlapping boundaries
+    (C4-style), this detects duplicated spans at ANY token offset — the
+    semantics Lee et al. get from a suffix array, realized with Spark
+    primitives: the suffix array's job (find repeated length-w
+    substrings) becomes a rolling window hash + one min-window keeper
+    per hash, and interval merging is a per-document running-max window
+    (gaps-and-islands), never a pair join.  Documents shorter than
+    ``window`` tokens pass through untouched; empty documents produce
+    no row (``segment_dedup`` contract).
+
+    Scale shape (100 TB): window emission is narrow (tokenize →
+    posexplode → slice) but emits ~one row per TOKEN (the w× overlap
+    factor over ``segment_dedup`` is the price of offset-free
+    detection — this IS the heavy member of the dedup family, run it
+    after exact/near dedup shrank the corpus).  Wide ops: (1) the
+    min-window on span_key — a 10^6-copy boilerplate span costs one
+    O(m) window partition, no pair emission; (2) the per-document
+    interval merge + reassembly — doc_id-partitioned windows
+    (high-cardinality key) and a collect_list bounded by document
+    length.  The md5 span key keeps the DuckDB oracle bit-exact; a
+    production run would swap in xxhash64 (8-byte shuffle key vs 32)."""
+    from pyspark.sql import Window as W
+
+    from learnhtml_spark.functions.textstats import tokens
+
+    if window <= 0:
+        raise ValueError("window must be positive")
+    w = int(window)
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    id_guard = F.when(
+        (F.col("doc_id").cast("long") < 0) | F.col("doc_id").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("exact_substr_dedup: doc_id must be non-null and >= 0 "
+                      "for the padded keeper key; got "),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id").cast("long"))
+    wins = (
+        base.filter(F.size("t") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), F.size("t") - w)).alias(
+                "_", "pos"
+            ),
+            F.md5(
+                F.lower(F.array_join(F.slice("t", F.col("pos") + 1, w), " "))
+            ).alias("span_key"),
+            F.format_string("%019d|%09d", id_guard, F.col("pos")).alias(
+                "skey"
+            ),
+        )
+        .drop("_")
+    )
+    marked = wins.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("skey") == F.min("skey").over(W.partitionBy("span_key"))
+        ).alias("keep"),
+    ).filter(~F.col("keep"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = marked.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int").alias(
+            "flag"
+        ),
+    )
+    islands = (
+        flagged.select(
+            "doc_id",
+            "pos",
+            F.sum("flag").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias(
+                "island"
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + w).alias("e"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("int").alias("n_removed"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    iv = F.coalesce(
+        F.col("iv"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept_tokens = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            iv, lambda v: (v["s"] <= i) & (i < v["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("int").alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("int").alias(
+            "n_removed"
+        ),
+        F.array_join(kept_tokens, " ").alias("clean_text"),
+    )

@@ -41,6 +41,7 @@ NOTES = {
     "dup_rate_by_source": "one (source, fp) two-phase distinct aggregate, map-side combined",
     "source_overlap": "distinct (source, shingle) agg computed ONCE (ReuseExchange covers per-source counts + both self-join sides); per-gram fan-out bounded by source cardinality",
     "unigram_lm": "tf agg computed ONCE (ReuseExchange) -> vocab rollup -> AQE-sized token join; corpus total = broadcast 1-row cross join",
+    "exact_substr_dedup": "ExactSubstr (Lee et al.): narrow overlapping-window hash emission (~1 row/token — the heavy dedup, run post-shrink) -> min-window keeper per span_key (O(m) per boilerplate span, no pairs) -> doc_id-partitioned interval-merge windows -> reassembly via index-filter (no token explode on the rebuild side)",
     "segment_dedup": "C4-style: narrow segmentation (tokenize -> posexplode -> slice) -> min-window on seg_key (O(m) per boilerplate cluster, no pairs) -> per-doc reassembly agg",
     "bloom_decontaminate": "constant-size Bloom bitmap as a plan literal (built eagerly from the eval side) -> fully narrow md5+mod probe (no bloom join) -> per-doc agg + zero-hit restore join",
     "neardup_clean": "cleaned-corpus composition: keeper-edge verdicts -> duplicate-id anti-join on high-cardinality doc_id (AQE-sided)",

@@ -37,7 +37,7 @@ def main():
     from dedup_scale_check import build_docs_10x
 
     import __spark_entry__ as E
-    from learnhtml_spark.functions.dedup import hll_distinct
+    from learnhtml_spark.functions.dedup import exact_substr_dedup, hll_distinct
     from learnhtml_spark.functions.pipeline import corpus_build
     from learnhtml_spark.functions.sampling import mixture_sample
     from learnhtml_spark.functions.textstats import pii_scrub, quality_gate
@@ -72,6 +72,7 @@ def main():
         "embedding_decontaminate": lambda d: embedding_decontaminate(
             d, eval_n=E._EMB_DECON_EVAL_N, threshold=E._EMB_DECON_TAU
         ),
+        "exact_substr_dedup": lambda d: exact_substr_dedup(d, window=E._XSUB_W),
     }
     inputs = {"embedding_decontaminate": (e1, e10)}
     only = set(sys.argv[1:])

@@ -1149,3 +1149,87 @@ def test_hll_distinct_register_sum_exactness_large(spark):
     # raw estimator in its validity regime (>= 2.5m = 160 distincts):
     # within ~3 standard errors (1.04/sqrt(64) ~ 13%)
     assert abs(a["rel_error"]) < 0.4
+
+
+def _xsub_python(docs, w):
+    """Pure-Python ExactSubstr reference: mark every (doc,pos) window that
+    is not the corpus-first occurrence of its (lowercased) w-token span,
+    merge intervals per doc, cut."""
+    toks = {d: t.strip().split() if t.strip() else [] for d, t in docs}
+    first = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for p in range(len(t) - w + 1):
+            key = " ".join(t[p:p + w]).lower()
+            first.setdefault(key, (d, p))
+    out = {}
+    for d in sorted(toks):
+        t = toks[d]
+        if not t:
+            continue
+        marked = [p for p in range(len(t) - w + 1)
+                  if first[" ".join(t[p:p + w]).lower()] != (d, p)]
+        ivs = []
+        for p in marked:
+            if ivs and p <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], p + w)
+            else:
+                ivs.append([p, p + w])
+        removed = set()
+        for s, e in ivs:
+            removed.update(range(s, e))
+        clean = " ".join(tok for i, tok in enumerate(t) if i not in removed)
+        out[d] = (len(t), len(ivs), sum(e - s for s, e in ivs), clean)
+    return out
+
+
+def test_exact_substr_dedup_fuzz_matches_python(spark):
+    """Deterministic adversarial corpus (verbatim copies, partial spans,
+    self-repetition, case changes, short docs) vs the Python reference."""
+    from learnhtml_spark.functions.dedup import exact_substr_dedup
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    docs = []
+    for d in range(40):
+        n = 3 + (d * 5) % 23
+        words = [vocab[(d * 3 + j * 7) % len(vocab)] for j in range(n)]
+        if d % 4 == 1 and d > 4:          # splice a copy of an earlier doc
+            words[1:1] = docs[d - 4][1].split()[:9]
+        if d % 5 == 2:                    # in-doc self repetition
+            words = words + words[:8]
+        if d % 7 == 3:                    # case-only variant (still a dup)
+            words = [w0.upper() for w0 in words]
+        docs.append((d, " ".join(words)))
+    docs.append((97, "   "))              # whitespace-only: no output row
+    docs.append((98, "tiny doc"))         # shorter than window
+    w = 6
+    want = _xsub_python(docs, w)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_removed"],
+                         r["clean_text"])
+           for r in exact_substr_dedup(df, window=w).collect()}
+    assert got == want
+    # partitioning invariance
+    got7 = {r["doc_id"]: tuple(r) for r in
+            exact_substr_dedup(df.repartition(7), window=w).collect()}
+    assert {k: v[1:] for k, v in got7.items()} == {
+        k: v for k, v in ((r, (want[r][0], want[r][1], want[r][2], want[r][3]))
+                          for r in want)}
+
+
+def test_exact_substr_dedup_guards(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkValueError
+
+    from learnhtml_spark.functions.dedup import exact_substr_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (-1, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        exact_substr_dedup(df, window=0)
+    with pytest.raises(Exception) as ei:
+        exact_substr_dedup(df, window=3).collect()
+    assert "doc_id must be non-null and >= 0" in str(ei.value)
