@@ -303,7 +303,18 @@ _RE_TAGPART = re.compile(
     r"(?:[ \t\n\r\f\v]*=[ \t\n\r\f\v]*"
     r"(?P<val>\"[^\"]*\"|'[^']*'|\"[^\"]*$|'[^']*$|[^ \t\n\r\f\v>]*))?)"
 )
-_RE_ENTITY = re.compile(r"&(?:([a-zA-Z][a-zA-Z0-9]*);|#[xX]([0-9a-fA-F]+);|#([0-9]+);)")
+# numeric character references: the terminating ';' is OPTIONAL ('&#65'
+# decodes to 'A', probed against system libxml2 — htmlParseCharRef stops
+# at the first non-digit and eats a directly-following ';'); a bare
+# '&#'/'&#x' prefix with no digits is CONSUMED and emits nothing ('&#xZZ'
+# -> 'ZZ', a lone '&#' document parses to no tree at all).  Named
+# entities still require the ';' (no-semicolon forms stay literal text).
+_RE_ENTITY = re.compile(
+    r"&(?:([a-zA-Z][a-zA-Z0-9]*);"
+    r"|#[xX]([0-9a-fA-F]+);?"
+    r"|#([0-9]+);?"
+    r"|#[xX]?;?)"
+)
 _RE_WS_SKIP = re.compile(r"[ \t\n\r\f\v]*")
 _RE_DOCTYPE = re.compile(r"<!doctype", re.IGNORECASE)
 
@@ -332,21 +343,41 @@ def guess_encoding(markup, default: str = "utf-8") -> str:
     return default
 
 
-def _decode_entities(s: str) -> str:
+def _charref_chr(hexd, dec) -> str:
+    cp = int(hexd, 16) if hexd is not None else int(dec)
+    if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+        return chr(cp)
+    return ""
+
+
+def _decode_entities_attr(s: str) -> str:
+    """ATTRIBUTE-context decoding: named entities behave exactly as in
+    text, but a FAILED numeric ref (no digits after '&#'/'&#x', or a
+    codepoint failing libxml2's IS_CHAR test) TRUNCATES the value at the
+    reference — probed against system libxml2 ('x&#1;y' -> 'x',
+    'x&#zz;y' -> 'x'), whose xmlParseAttValue stops on the error where
+    the text path merely skips.  Literal control characters in the
+    source are kept (only DECODED ones truncate)."""
     if "&" not in s:
         return s
-
-    def repl(m):
+    out = []
+    last = 0
+    for m in _RE_ENTITY.finditer(s):
+        out.append(s[last : m.start()])
+        last = m.end()
         name, hexd, dec = m.groups()
         if name is not None:
             cp = _ENTITIES.get(name)
-            return chr(cp) if cp is not None else m.group(0)
-        cp = int(hexd, 16) if hexd is not None else int(dec)
-        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
-            return chr(cp)
-        return ""
-
-    return _RE_ENTITY.sub(repl, s)
+            out.append(chr(cp) if cp is not None else m.group(0))
+            continue
+        if hexd is None and dec is None:
+            return "".join(out)
+        ch = _charref_chr(hexd, dec)
+        if ch == "" or _RE_INVALID_TEXT.match(ch):
+            return "".join(out)
+        out.append(ch)
+    out.append(s[last:])
+    return "".join(out)
 
 
 class _TreeBuilder:
@@ -493,9 +524,14 @@ class _TreeBuilder:
                 return
         # unmatched end tag: ignored
 
-    def text(self, s: str):
+    def text(self, s: str, forced: bool = False):
+        # ``forced``: the run contains a successfully-decoded char ref, so
+        # even an all-whitespace result is CONTENT, never an ignorable
+        # blank — libxml2 emits char refs through a SAX characters() call
+        # that bypasses the areBlanks() check ('&#9;' alone parses to an
+        # implied <p> holding a tab; raw blanks there parse to no tree)
         if not self.stack:
-            if not s.strip(" \t\n\r\f\v"):
+            if not s.strip(" \t\n\r\f\v") and not forced:
                 return  # doc-level blank runs are always dropped
             if self.root is not None and self.saw_doctype:
                 # with a DTD present, stray doc-level text after the root
@@ -513,7 +549,7 @@ class _TreeBuilder:
                 self._push_new("p")
         else:
             cur = self.stack[-1].tag
-            if cur in ("html", "head") and s.strip(" \t\n\r\f\v"):
+            if cur in ("html", "head") and (s.strip(" \t\n\r\f\v") or forced):
                 # non-blank text directly in html/head implies a <p>
                 self._auto_close("p")
                 self._check_implied("p")
@@ -577,9 +613,40 @@ def parse_html(
                 # prolog blank-skipping applies to the RAW stream only: an
                 # invalid char (later dropped) already ends the skipping
                 t = t.lstrip(" \t\n\r\f\v")
-            t = _RE_INVALID_TEXT.sub("", _decode_entities(t))
-            if t:
-                b.text(t)
+            if "&" not in t:
+                t = _RE_INVALID_TEXT.sub("", t)
+                if t:
+                    b.text(t)
+            else:
+                # Replay libxml2's event stream: char data STOPS at '&' —
+                # a run interleaves chardata segments with reference
+                # events.  A blank segment followed by a ref ('&', i.e.
+                # any non-final segment) fails areBlanks() and is KEPT;
+                # only the final segment gets the ignorable-blank
+                # treatment.  A ref that decodes to a surviving char is
+                # emitted via characters() and is content even when it
+                # is whitespace; a failed ref emits nothing.
+                last = 0
+                for m in _RE_ENTITY.finditer(t):
+                    seg = _RE_INVALID_TEXT.sub("", t[last : m.start()])
+                    last = m.end()
+                    if seg:
+                        b.text(seg, forced=True)
+                    name, hexd, dec = m.groups()
+                    if name is not None:
+                        cp = _ENTITIES.get(name)
+                        ch = chr(cp) if cp is not None else m.group(0)
+                    elif hexd is None and dec is None:
+                        ch = ""
+                    else:
+                        ch = _charref_chr(hexd, dec)
+                        if ch and _RE_INVALID_TEXT.match(ch):
+                            ch = ""
+                    if ch:
+                        b.text(ch, forced=True)
+                tail_seg = _RE_INVALID_TEXT.sub("", t[last:])
+                if tail_seg:
+                    b.text(tail_seg)
             pending_text.clear()
 
     def in_prolog():
@@ -688,7 +755,7 @@ def parse_html(
                             aval = aval[1:-1]
                         else:
                             aval = aval[1:]
-                    aval = _decode_entities(aval)
+                    aval = _decode_entities_attr(aval)
                 if aname not in attrib:
                     attrib[aname] = aval
             flush_text()

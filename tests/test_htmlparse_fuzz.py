@@ -80,6 +80,15 @@ _doc = st.builds(
 @example(
     doc='<div id="".">',
 ).via('discovered failure')
+@example(
+    doc='&#',
+).via('discovered failure')  # bare numeric-ref prefix: consumed, no tree
+@example(
+    doc='&#9;',
+).via('charref-decoded whitespace is content, not an ignorable blank')
+@example(
+    doc='<p a="x&#1;y">q</p>',
+).via('failed numeric ref truncates the attribute value')
 def test_fuzz_tree_equality(doc):
     assert treediff.compare(doc) == [], doc
 
