@@ -98,3 +98,44 @@ def test_fuzz_tree_equality(doc):
 @given(_doc)
 def test_fuzz_tree_equality_removal_mode(doc):
     assert treediff.compare(doc, remove_comments=True, remove_pis=True) == [], doc
+
+
+# charref-dense dialect: random numeric refs (valid, invalid-codepoint,
+# unterminated, digitless) interleaved with whitespace, tags and
+# attribute values — the dialect that uncovered the '&#' family of
+# divergences (round 5); kept as a standing suite
+_charref = st.one_of(
+    st.builds(
+        lambda n, t: f"&#{n}{t}",
+        st.integers(0, 0x110002),
+        st.sampled_from([";", "", "a", " "]),
+    ),
+    st.builds(
+        lambda n, t: f"&#x{n:x}{t}",
+        st.integers(0, 0x110002),
+        st.sampled_from([";", "", "g", " "]),
+    ),
+    st.sampled_from(
+        ["&#", "&#x", "&#;", "&#x;", "&#X", "&", "&&#9;", "&amp;", "&amp",
+         "&#9;", "&#32;", "&#10;", "&nbsp;", "&#0 ", " &# "]
+    ),
+)
+_charref_token = st.one_of(
+    _text,
+    _charref,
+    st.builds(
+        lambda t, v: f'<{t} a="{v}">',
+        st.sampled_from(TAGS),
+        st.one_of(_text, _charref),
+    ),
+    st.builds(lambda t: f"</{t}>", st.sampled_from(TAGS)),
+    st.sampled_from([" ", "\t", "<p>", "</p>", "<!--c-->"]),
+)
+_charref_doc = st.lists(_charref_token, max_size=16).map("".join)
+
+
+@needs_oracle
+@settings(max_examples=300, deadline=None)
+@given(_charref_doc)
+def test_fuzz_tree_equality_charrefs(doc):
+    assert treediff.compare(doc) == [], doc
