@@ -269,14 +269,30 @@ _END_PRIORITY = {
     "div": 150,
     "td": 160,
     "th": 160,
-    "tr": 160,
-    "tbody": 160,
-    "thead": 160,
-    "tfoot": 160,
+    "tr": 163,
+    "tbody": 168,
+    "thead": 168,
+    "tfoot": 168,
     "table": 170,
     "head": 180,
     "body": 190,
     "html": 200,
+}
+
+#: BLOCKING priority: an end tag is ignored when an open element ABOVE its
+#: match out-blocks it; default blocking power = the element's own
+#: _END_PRIORITY.  Fitted empirically (full shielded end×intermediate
+#: matrix vs libxml2): tr and the row groups block the 160 tier AND each
+#: level below ('<tr><thead></tr>' leaves the stack untouched,
+#: '<th><div><tbody></th>' is ignored), but row-group END tags close
+#: through the whole tier ('<tbody><thead></tbody>'-style closes, hence
+#: their 168 end power above the 165 block), and </table> at 170 closes
+#: through everything ('<table><thead></table>' closes).
+_END_BLOCK = {
+    "tr": 165,
+    "tbody": 165,
+    "thead": 165,
+    "tfoot": 165,
 }
 
 # entity tables: HTML 4.0 named set (+ XML's apos) — semicolon REQUIRED,
@@ -292,6 +308,115 @@ _RE_INVALID_TEXT = re.compile(
 )
 
 _RE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
+
+def _decode_ranges(spec: str):
+    out = []
+    for part in spec.replace("\n", "").split(","):
+        a, _, b = part.partition("-")
+        lo = int(a, 16)
+        out.append((lo, int(b, 16) if b else lo))
+    return out
+
+
+#: XML 1.0 Letter / NameChar sets for the non-ASCII BMP, derived
+#: EMPIRICALLY by probing the system libxml2 over every BMP codepoint
+#: (scripts in the session log; 203 + 282 ranges — the spec's Appendix-B
+#: productions, which differ from modern Unicode isalpha(): U+02A9 is a
+#: letter today but not a BaseChar).  Astral-plane chars are not name
+#: chars (probed).  Used for PI target names.
+_PI_START_RANGES = _decode_ranges("""c0-d6,d8-f6,f8-131,134-13e,141-148,14a-17e,180-1c3,1cd-1f0,1f4-1f5,1fa-
+217,250-2a8,2bb-2c1,386,388-38a,38c,38e-3a1,3a3-3ce,3d0-
+3d6,3da,3dc,3de,3e0,3e2-3f3,401-40c,40e-44f,451-45c,45e-481,490-4c4,4c7-
+4c8,4cb-4cc,4d0-4eb,4ee-4f5,4f8-4f9,531-556,559,561-586,5d0-5ea,5f0-5f2,621-
+63a,641-64a,671-6b7,6ba-6be,6c0-6ce,6d0-6d3,6d5,6e5-6e6,905-939,93d,958-
+961,985-98c,98f-990,993-9a8,9aa-9b0,9b2,9b6-9b9,9dc-9dd,9df-9e1,9f0-9f1,a05-
+a0a,a0f-a10,a13-a28,a2a-a30,a32-a33,a35-a36,a38-a39,a59-a5c,a5e,a72-a74,a85-
+a8b,a8d,a8f-a91,a93-aa8,aaa-ab0,ab2-ab3,ab5-ab9,abd,ae0,b05-b0c,b0f-b10,b13-
+b28,b2a-b30,b32-b33,b36-b39,b3d,b5c-b5d,b5f-b61,b85-b8a,b8e-b90,b92-b95,b99-
+b9a,b9c,b9e-b9f,ba3-ba4,ba8-baa,bae-bb5,bb7-bb9,c05-c0c,c0e-c10,c12-c28,c2a-
+c33,c35-c39,c60-c61,c85-c8c,c8e-c90,c92-ca8,caa-cb3,cb5-cb9,cde,ce0-ce1,d05-
+d0c,d0e-d10,d12-d28,d2a-d39,d60-d61,e01-e2e,e30,e32-e33,e40-e45,e81-
+e82,e84,e87-e88,e8a,e8d,e94-e97,e99-e9f,ea1-ea3,ea5,ea7,eaa-eab,ead-eae,eb0,
+eb2-eb3,ebd,ec0-ec4,f40-f47,f49-f69,10a0-10c5,10d0-10f6,1100,1102-1103,1105-
+1107,1109,110b-110c,110e-1112,113c,113e,1140,114c,114e,1150,1154-
+1155,1159,115f-1161,1163,1165,1167,1169,116d-116e,1172-
+1173,1175,119e,11a8,11ab,11ae-11af,11b7-11b8,11ba,11bc-
+11c2,11eb,11f0,11f9,1e00-1e9b,1ea0-1ef9,1f00-1f15,1f18-1f1d,1f20-1f45,1f48-
+1f4d,1f50-1f57,1f59,1f5b,1f5d,1f5f-1f7d,1f80-1fb4,1fb6-1fbc,1fbe,1fc2-
+1fc4,1fc6-1fcc,1fd0-1fd3,1fd6-1fdb,1fe0-1fec,1ff2-1ff4,1ff6-1ffc,2126,212a-
+212b,212e,2180-2182,3007,3021-3029,3041-3094,30a1-30fa,3105-312c,4e00-
+9fa5,ac00-d7a3,fffe-ffff""")
+_PI_CONT_RANGES = _decode_ranges("""b7,c0-d6,d8-f6,f8-131,134-13e,141-148,14a-17e,180-1c3,1cd-1f0,1f4-1f5,1fa-
+217,250-2a8,2bb-2c1,2d0-2d1,300-345,360-361,386-38a,38c,38e-3a1,3a3-3ce,3d0-
+3d6,3da,3dc,3de,3e0,3e2-3f3,401-40c,40e-44f,451-45c,45e-481,483-486,490-
+4c4,4c7-4c8,4cb-4cc,4d0-4eb,4ee-4f5,4f8-4f9,531-556,559,561-586,591-5a1,5a3-
+5b9,5bb-5bd,5bf,5c1-5c2,5c4,5d0-5ea,5f0-5f2,621-63a,640-652,660-669,670-
+6b7,6ba-6be,6c0-6ce,6d0-6d3,6d5-6e8,6ea-6ed,6f0-6f9,901-903,905-939,93c-
+94d,951-954,958-963,966-96f,981-983,985-98c,98f-990,993-9a8,9aa-9b0,9b2,9b6-
+9b9,9bc,9be-9c4,9c7-9c8,9cb-9cd,9d7,9dc-9dd,9df-9e3,9e6-9f1,a02,a05-a0a,a0f-
+a10,a13-a28,a2a-a30,a32-a33,a35-a36,a38-a39,a3c,a3e-a42,a47-a48,a4b-a4d,a59-
+a5c,a5e,a66-a74,a81-a83,a85-a8b,a8d,a8f-a91,a93-aa8,aaa-
+ab0,ab2-ab3,ab5-ab9,abc-ac5,ac7-ac9,acb-acd,ae0,ae6-aef,b01-b03,b05-b0c,b0f-
+b10,b13-b28,b2a-b30,b32-b33,b36-b39,b3c-b43,b47-b48,b4b-b4d,b56-b57,b5c-
+b5d,b5f-b61,b66-b6f,b82-b83,b85-b8a,b8e-b90,b92-b95,b99-b9a,b9c,b9e-b9f,ba3-
+ba4,ba8-baa,bae-bb5,bb7-bb9,bbe-bc2,bc6-bc8,bca-bcd,bd7,be7-bef,c01-c03,c05-
+c0c,c0e-c10,c12-c28,c2a-c33,c35-c39,c3e-c44,c46-c48,c4a-c4d,c55-c56,c60-
+c61,c66-c6f,c82-c83,c85-c8c,c8e-c90,c92-ca8,caa-cb3,cb5-cb9,cbe-
+cc4,cc6-cc8,cca-ccd,cd5-cd6,cde,ce0-ce1,ce6-cef,d02-d03,d05-d0c,d0e-d10,d12-
+d28,d2a-d39,d3e-d43,d46-d48,d4a-d4d,d57,d60-d61,d66-d6f,e01-e2e,e30-e3a,e40-
+e4e,e50-e59,e81-e82,e84,e87-e88,e8a,e8d,e94-e97,e99-e9f,ea1-ea3,ea5,ea7,eaa-
+eab,ead-eae,eb0-eb9,ebb-ebd,ec0-ec4,ec6,ec8-ecd,ed0-ed9,f18-f19,f20-
+f29,f35,f37,f39,f3e-f47,f49-f69,f71-f84,f86-f8b,f90-f95,f97,f99-fad,fb1-
+fb7,fb9,10a0-10c5,10d0-10f6,1100,1102-1103,1105-1107,1109,110b-110c,110e-
+1112,113c,113e,1140,114c,114e,1150,1154-1155,1159,115f-
+1161,1163,1165,1167,1169,116d-116e,1172-1173,1175,119e,11a8,11ab,11ae-
+11af,11b7-11b8,11ba,11bc-11c2,11eb,11f0,11f9,1e00-1e9b,1ea0-1ef9,1f00-
+1f15,1f18-1f1d,1f20-1f45,1f48-1f4d,1f50-1f57,1f59,1f5b,1f5d,1f5f-1f7d,1f80-
+1fb4,1fb6-1fbc,1fbe,1fc2-1fc4,1fc6-1fcc,1fd0-1fd3,1fd6-1fdb,1fe0-1fec,1ff2-
+1ff4,1ff6-1ffc,20d0-20dc,20e1,2126,212a-212b,212e,2180-2182,3005,3007,3021-
+302f,3031-3035,3041-3094,3099-309a,309d-309e,30a1-30fa,30fc-30fe,3105-
+312c,4e00-9fa5,ac00-d7a3""")
+
+
+def _in_ranges(cp: int, ranges) -> bool:
+    from bisect import bisect_right
+
+    i = bisect_right(ranges, (cp, 0x10FFFF)) - 1
+    return i >= 0 and ranges[i][0] <= cp <= ranges[i][1]
+
+
+def _pi_name(s: str, pos: int) -> str | None:
+    """PI target name per libxml2: starts with an ASCII letter or an XML
+    1.0 BaseChar/Ideographic ('<?\xc0?>' is a PI, '<?\x80'/'<?\xbe'
+    are bogus); continues with XML NameChars or ._:-.  '_' and ':'
+    START a target per XML NameStartChar; '.', '-' and digits do not
+    (probed: '<?:?>' and '<?_?>' are consumed, '<?.?>' stays text)."""
+    if pos >= len(s):
+        return None
+    c = s[pos]
+    o = ord(c)
+    if not (
+        ("a" <= c <= "z")
+        or ("A" <= c <= "Z")
+        or c in "_:"
+        or (o > 127 and _in_ranges(o, _PI_START_RANGES))
+    ):
+        return None
+    j = pos + 1
+    while j < len(s):
+        c = s[j]
+        o = ord(c)
+        if (
+            ("a" <= c <= "z")
+            or ("A" <= c <= "Z")
+            or ("0" <= c <= "9")
+            or c in "._:-"
+            or (o > 127 and _in_ranges(o, _PI_CONT_RANGES))
+        ):
+            j += 1
+        else:
+            break
+    return s[pos:j]
 
 #: one-shot per-attribute matcher inside a start tag: optional blanks, then
 #: either the tag terminator or an attribute (name, optional =value where
@@ -520,7 +645,7 @@ class _TreeBuilder:
                     # pages get sibling body elements)
                     self.html_state = 0
                 return
-            if _END_PRIORITY.get(cur, 100) > prio:
+            if _END_BLOCK.get(cur, _END_PRIORITY.get(cur, 100)) > prio:
                 return
         # unmatched end tag: ignored
 
@@ -605,6 +730,9 @@ def parse_html(
     n = len(s)
     i = 0
     pending_text = []
+    #: source offset just past a consumed MISPLACED (after-content)
+    #: doctype; a doctype starting exactly here stays literal text
+    misplaced_doctype_end = -1
 
     def flush_text():
         if pending_text:
@@ -612,7 +740,11 @@ def parse_html(
             if not b.left_prolog and b.root is None and not b.stack:
                 # prolog blank-skipping applies to the RAW stream only: an
                 # invalid char (later dropped) already ends the skipping
-                t = t.lstrip(" \t\n\r\f\v")
+                # libxml2's SKIP_BLANKS set is space/tab/cr/lf ONLY — \f and
+                # \v are NOT blanks there; they are invalid chars that END
+                # the prolog skip ('\x0b\rx' keeps the \r, ' \x0c x' keeps
+                # the second space)
+                t = t.lstrip(" \t\n\r")
             if "&" not in t:
                 t = _RE_INVALID_TEXT.sub("", t)
                 if t:
@@ -647,6 +779,11 @@ def parse_html(
                 tail_seg = _RE_INVALID_TEXT.sub("", t[last:])
                 if tail_seg:
                     b.text(tail_seg)
+                if last:
+                    # any reference event — even a failed one — ends the
+                    # prolog blank skip ('&# 0' keeps the space where
+                    # '<!--c--> 0' does not; probed libxml2)
+                    b.left_prolog = True
             pending_text.clear()
 
     def in_prolog():
@@ -669,18 +806,50 @@ def parse_html(
 
         if nxt == "!":
             if s.startswith("<!--", i):
-                end = s.find("-->", i + 4)
+                # terminators: '-->' or '--!>' (whichever comes first);
+                # an UNTERMINATED comment swallows the rest of the input
+                # and produces NO node (probed: '<div><!--x' leaves div
+                # empty — libxml2 discards the unfinished comment)
                 flush_text()
-                if end < 0:
-                    b.comment(_RE_INVALID_TEXT.sub("", s[i + 4 :]))
-                    i = n
+                e1 = s.find("-->", i + 4)
+                e2 = s.find("--!>", i + 4)
+                if e2 >= 0 and (e1 < 0 or e2 < e1):
+                    b.comment(_RE_INVALID_TEXT.sub("", s[i + 4 : e2]))
+                    i = e2 + 4
+                elif e1 >= 0:
+                    b.comment(_RE_INVALID_TEXT.sub("", s[i + 4 : e1]))
+                    i = e1 + 3
                 else:
-                    b.comment(_RE_INVALID_TEXT.sub("", s[i + 4 : end]))
-                    i = end + 3
+                    i = n
             elif _RE_DOCTYPE.match(s, i):
+                # flush BEFORE the state updates below: the pending run
+                # belongs to the pre-doctype prolog state (the misplaced
+                # marker's left_prolog side-effect must not retroactively
+                # keep blanks that libxml2 already skipped)
+                flush_text()
                 end = s.find(">", i)
-                i = n if end < 0 else end + 1
-                b.saw_doctype = True
+                stop = n if end < 0 else end + 1
+                if i == misplaced_doctype_end:
+                    # a doctype IMMEDIATELY after a consumed misplaced
+                    # doctype stays literal text ('0<!doctype x>
+                    # <!doctype y>' consumes both, but with zero chars
+                    # between them the second one survives verbatim —
+                    # probed libxml2); any intervening char resets.  In
+                    # the prolog the leading '<' is dropped like any
+                    # bogus prolog '<' ('<!dx><!dy><!dz>' -> '!doctype
+                    # z>')
+                    pending_text.append(s[i + 1 if in_prolog() else i : stop])
+                    misplaced_doctype_end = -1
+                else:
+                    # misplaced = after content OR after a prior doctype
+                    # (only the first prolog doctype is legitimate)
+                    if b.left_prolog or b.saw_doctype or not in_prolog():
+                        misplaced_doctype_end = stop
+                        # the misplaced-DTD error also ends the prolog
+                        # blank skip ('<!dx><!dy> 0' keeps the space)
+                        b.left_prolog = True
+                    b.saw_doctype = True
+                i = stop
             else:
                 # '<!' that is neither comment nor doctype: the '<' is
                 # emitted as recovery text (dropped in the prolog); the
@@ -691,17 +860,57 @@ def parse_html(
                 b.left_prolog = True
                 i += 1
         elif nxt == "?":
+            # PI target name-start per libxml2: an ASCII letter or any
+            # non-ASCII character ('<?\xc0...?>' is consumed as a PI);
+            # digits/punctuation make the '<?' bogus
+            if _pi_name(s, i + 2) is None:
+                # '<?' with no PI target name: only the two chars are
+                # consumed, the rest (including any '?>') stays text, and
+                # the prolog blank skip stays ARMED ('<??>' -> text '?>';
+                # '  <? >x' -> '>x' — probed against libxml2)
+                flush_text()
+                i += 2
+                continue
             end = s.find(">", i + 2)
             raw = s[i + 2 :] if end < 0 else s[i + 2 : end]
-            m = _RE_NAME.match(raw)
+            name = _pi_name(raw, 0)
+            if end < 0:
+                # unterminated PI: when EOF comes right after the target
+                # name the NAME becomes text ('<?a' -> 'a', 'x<?a' ->
+                # 'xa'); anything after the name kills the whole rest
+                # ('<?a b' / '<?a?' -> nothing) — probed libxml2
+                if name is not None and name == raw and name.isascii():
+                    # ASCII names only — an unterminated non-ASCII
+                    # target vanishes with the rest ('<?\xc0' -> None).
+                    # Flush first: the preceding run is its own chardata
+                    # event ('</p> <?a' drops the lone blank, then 'a'
+                    # merges into the same text node)
+                    flush_text()
+                    pending_text.append(name)
+                    i = n
+                    continue
+                flush_text()
+                i = n
+                continue
             flush_text()
-            if m:
+            if name is not None:
                 b.pi(
-                    m.group(0),
-                    _RE_INVALID_TEXT.sub("", raw[m.end() :].lstrip(" \t\n\r\f\v")),
+                    name,
+                    _RE_INVALID_TEXT.sub("", raw[len(name) :].lstrip(" \t\n\r\f\v")),
                 )
-            i = n if end < 0 else end + 1
+            i = end + 1
         elif nxt == "/":
+            if i == misplaced_doctype_end:
+                # like a doctype, an END TAG with zero chars between it
+                # and a consumed misplaced doctype stays literal text
+                # ('0<!doctype x></p>' -> '0</p>'); start tags, comments
+                # and PIs there parse normally — probed libxml2
+                gt = s.find(">", i + 2)
+                stop = n if gt < 0 else gt + 1
+                pending_text.append(s[i + 1 if in_prolog() else i : stop])
+                misplaced_doctype_end = -1
+                i = stop
+                continue
             m = _RE_NAME.match(s, i + 2)
             if m:
                 tag = m.group(0).lower()
@@ -712,8 +921,12 @@ def parse_html(
                 i = n if end < 0 else end + 1
             else:
                 # '</' followed by a non-name char: exactly the two chars
-                # are discarded; the rest (including any '>') stays text
+                # are discarded; the rest (including any '>') stays text.
+                # This DOES end the prolog — '</ p>' keeps the blank in
+                # ' p>' (probed), unlike a bogus '<?' which leaves the
+                # prolog skip armed
                 flush_text()
+                b.left_prolog = True
                 i += 2
         elif nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):
             m = _RE_NAME.match(s, i + 1)
@@ -749,7 +962,9 @@ def parse_html(
                 if aval is None:
                     aval = aname if aname in _BOOLEAN_ATTRS else ""
                 else:
-                    if aval[:1] in "\"'":
+                    # tuple membership: `'' in "\"'"` is True (substring
+                    # test) and would index an empty unquoted value
+                    if aval[:1] in ('"', "'"):
                         q = aval[0]
                         if len(aval) >= 2 and aval[-1] == q:
                             aval = aval[1:-1]
@@ -764,60 +979,52 @@ def parse_html(
             i = j if closed or j >= n else j
             if tag in _RAWTEXT and not self_closing and b.stack and b.stack[-1].tag == tag:
                 # CDATA mode (script/style), recovery semantics observed
-                # from libxml2:
-                # - end tags at the very START of the content are dispatched
-                #   normally (an unmatched one is swallowed);
-                # - during CDATA consumption only an end tag whose name
-                #   PREFIX-matches the raw tag breaks; a prefix-but-not-exact
-                #   match (</scriptx>) is dispatched (usually a no-op) and
-                #   CDATA consumption resumes;
-                # - everything else, including other end tags, stays text.
+                # from libxml2 — two alternating states:
+                # - MARKUP-DISPATCH (at content start, and again right
+                #   after every dispatched end tag): '</name...' tokens
+                #   of ANY name are dispatched as real end tags
+                #   (unmatched ones are swallowed — '<script></scriptx>
+                #   </style>' drops both), a '<noscript' start closes a
+                #   script, '</' + non-name drops the two chars, and
+                #   anything else switches to CDATA;
+                # - CDATA consumption: text accrues until the next '</'
+                #   whose name PREFIX-matches the open tag (only that —
+                #   '</style>' mid-script stays text); the matching
+                #   token returns control to MARKUP-DISPATCH (so
+                #   '</scriptx>' is swallowed and consumption resumes).
                 el = b.stack[-1]
                 pos = j
-                if tag == "script" and s[pos : pos + 9].lower() == "<noscript":
-                    # observed libxml2 special case: a <noscript> start tag
-                    # at the very beginning of script content closes the
-                    # script and is parsed as a normal element
-                    b.end("script")
-                    i = pos
-                    continue
-                while pos < n and s.startswith("</", pos):
-                    m2 = _RE_NAME.match(s, pos + 2)
-                    if not m2:
-                        # '</' + non-name at content start: the two chars
-                        # are dropped, the rest is CDATA text
-                        pos += 2
-                        break
-                    gt = s.find(">", m2.end())
-                    b.end(m2.group(0).lower())
-                    pos = n if gt < 0 else gt + 1
-                    if not (b.stack and b.stack[-1] is el):
-                        break
                 parts = []
-
-                def _flush_raw():
-                    txt = _RE_INVALID_TEXT.sub("", "".join(parts))
-                    parts.clear()
-                    if txt:
-                        el.text = txt if el.text is None else el.text + txt
-
                 while b.stack and b.stack[-1] is el and pos < n:
-                    k = s.find("</", pos)
-                    if k < 0:
-                        parts.append(s[pos:])
-                        pos = n
+                    if tag == "script" and s[pos : pos + 9].lower() == "<noscript":
+                        b.end("script")
                         break
-                    if s[k + 2 : k + 2 + len(tag)].lower() == tag:
-                        parts.append(s[pos:k])
-                        m3 = _RE_NAME.match(s, k + 2)
-                        gt = s.find(">", m3.end())
-                        _flush_raw()
-                        b.end(m3.group(0).lower())
-                        pos = n if gt < 0 else gt + 1
-                    else:
-                        parts.append(s[pos : k + 2])
-                        pos = k + 2
-                _flush_raw()
+                    if s.startswith("</", pos):
+                        m2 = _RE_NAME.match(s, pos + 2)
+                        if m2:
+                            gt = s.find(">", m2.end())
+                            b.end(m2.group(0).lower())
+                            pos = n if gt < 0 else gt + 1
+                            continue
+                        # '</' + non-name: the two chars are dropped,
+                        # the rest is CDATA text
+                        pos += 2
+                    # CDATA: consume until '</' + name-prefix-match
+                    k = pos
+                    while True:
+                        k = s.find("</", k)
+                        if k < 0:
+                            parts.append(s[pos:])
+                            pos = n
+                            break
+                        if s[k + 2 : k + 2 + len(tag)].lower() == tag:
+                            parts.append(s[pos:k])
+                            pos = k
+                            break
+                        k += 2
+                txt = _RE_INVALID_TEXT.sub("", "".join(parts))
+                if txt:
+                    el.text = txt if el.text is None else el.text + txt
                 i = pos
         else:
             flush_text()

@@ -139,3 +139,126 @@ _charref_doc = st.lists(_charref_token, max_size=16).map("".join)
 @given(_charref_doc)
 def test_fuzz_tree_equality_charrefs(doc):
     assert treediff.compare(doc) == [], doc
+
+
+# round-5 dialect suites: each uncovered real divergences vs libxml2
+# (misplaced-doctype literals, PI target name classes, rawtext
+# markup-dispatch state, the thead/row-group end-tag blocking tier,
+# empty unquoted attribute values); kept standing with their minimal
+# counterexamples pinned.
+_aname = st.sampled_from(["id", "class", "ID", "data-x", "x:y", "a.b", "_q"])
+_attr2 = st.one_of(
+    st.builds(lambda n, v: f' {n}="{v}"', _aname, st.text(alphabet="abc' =`", max_size=6)),
+    st.builds(lambda n, v: f" {n}='{v}'", _aname, st.text(alphabet='abc" =`', max_size=6)),
+    st.builds(lambda n, v: f" {n}={v}", _aname, st.text(alphabet="abc`%/\\", min_size=1, max_size=6)),
+    st.builds(lambda n: f" {n}", _aname),
+    st.builds(lambda n: f" {n}=", _aname),
+    st.builds(lambda n, v: f' {n} = "{v}', _aname, st.text(alphabet="abc ", max_size=5)),
+    st.sampled_from([" =x", ' "q"', " 'q'", " a==b", " a=b=c", " /q", " a/b=c"]),
+)
+_attr_doc = st.lists(
+    st.one_of(
+        _text,
+        st.builds(lambda t, a1, a2, sl: f"<{t}{a1}{a2}{' /' if sl else ''}>",
+                  st.sampled_from(TAGS), _attr2, _attr2, st.booleans()),
+        st.builds(lambda t: f"</{t}>", st.sampled_from(TAGS)),
+    ),
+    max_size=10,
+).map("".join)
+
+_cmt_doc = st.lists(
+    st.one_of(
+        _text,
+        st.builds(lambda c: f"<!--{c}-->", st.text(alphabet="ab- >!<", max_size=8)),
+        st.builds(lambda c: f"<!--{c}", st.text(alphabet="ab- >!", max_size=6)),
+        st.sampled_from(
+            ["<!-->", "<!--->", "<!---->", "<!-- -- -->", "<!>", "<! >", "<!x>",
+             "<!--a--!>", "<![CDATA[z]]>", "<![CDATA[", "<!doctype x>",
+             "<!DOCTYPEhtml>", "</p>", "</div>", " ", "<p>", "<div>", "0"]
+        ),
+    ),
+    max_size=12,
+).map("".join)
+
+_pi_doc = st.lists(
+    st.one_of(
+        _text,
+        st.builds(
+            lambda c, t: f"<?{c}{t}",
+            st.characters(codec="utf-8", exclude_characters="<>&\x00", max_codepoint=0xFFFF),
+            st.sampled_from(["", "?>", ">", " ?>y", "x?>"]),
+        ),
+        st.sampled_from(["<??>", "<?>", "<?php x ?>", "<? >", "<?9>", "<?a",
+                         "<?:?>", "<?_?>", "<?.?>", "<p>", "</p>", " "]),
+    ),
+    max_size=8,
+).map("".join)
+
+_raw_doc = st.lists(
+    st.sampled_from(
+        ["<script>", "<style>", "</script>", "</style>", "</scr", "<!--", "-->",
+         "</script >", "</scriptx>", "</stylex>", "x", "<p>", "</p>", "'", '"',
+         "--!>", "<noscript>", "</b>", "</123>"]
+    ),
+    max_size=12,
+).map("".join)
+
+_table_doc = st.lists(
+    st.sampled_from(
+        ["<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>", "</th>",
+         "<tbody>", "</tbody>", "<thead>", "</thead>", "<tfoot>", "</tfoot>",
+         "<caption>", "</caption>", "<col>", "<colgroup>", "x", "<p>", "<div>", "</div>"]
+    ),
+    max_size=16,
+).map("".join)
+
+
+@needs_oracle
+@settings(max_examples=200, deadline=None)
+@given(_attr_doc)
+@example(doc='<div id="" id=>').via('empty unquoted value crashed the quote check')
+def test_fuzz_attr_pathology(doc):
+    assert treediff.compare(doc) == [], doc
+
+
+@needs_oracle
+@settings(max_examples=200, deadline=None)
+@given(_cmt_doc)
+@example(doc='<div><!--x').via('unterminated comments are dropped')
+@example(doc='<p><!--x--!>y').via("'--!>' also terminates a comment")
+@example(doc='0<!doctype x><!doctype x>').via('adjacent misplaced doctype stays literal')
+@example(doc='0<!doctype x></p>').via('end tag adjacent to misplaced doctype stays literal')
+@example(doc='<!doctype x><!doctype x><!doctype x>').via('prolog literal drops the bogus <')
+@example(doc='<!--<!--> --><!doctype x>').via('pending run flushes before doctype state updates')
+def test_fuzz_comments_doctype(doc):
+    assert treediff.compare(doc) == [], doc
+
+
+@needs_oracle
+@settings(max_examples=200, deadline=None)
+@given(_pi_doc)
+@example(doc='<??>').via("'<?' with no target consumes two chars only")
+@example(doc='<?a').via('unterminated ASCII target becomes text')
+@example(doc='<?ʩ').via('XML 1.0 BaseChar table, not modern isalpha')
+@example(doc='<?:?>').via("':' and '_' start a PI target")
+@example(doc='</p> <?a').via('preceding run flushes before the orphan target')
+def test_fuzz_pis(doc):
+    assert treediff.compare(doc) == [], doc
+
+
+@needs_oracle
+@settings(max_examples=200, deadline=None)
+@given(_raw_doc)
+@example(doc='<script></scriptx></style>').via('markup-dispatch state after swallowed end tag')
+@example(doc='<script>a</scriptx><noscript>x').via('noscript close applies after mid-CDATA break')
+def test_fuzz_rawtext(doc):
+    assert treediff.compare(doc) == [], doc
+
+
+@needs_oracle
+@settings(max_examples=200, deadline=None)
+@given(_table_doc)
+@example(doc='<tr><thead></tr><thead>').via('thead blocks same-tier end tags')
+@example(doc='<th><div><tbody></th><table>').via('row-group end-tag blocking behind a shield')
+def test_fuzz_tables(doc):
+    assert treediff.compare(doc) == [], doc
