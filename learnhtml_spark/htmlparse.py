@@ -207,7 +207,7 @@ _START_CLOSE = {
     "font": {"head"},
     "form": {"address", "dir", "dl", "form", "h1", "h2", "h3", "h4", "h5", "h6",
              "listing", "menu", "ol", "p", "pre", "ul", "xmp", "head"},
-    "frameset": {"p", "head"},
+    "frameset": {"p", "title", "head"},
     "h1": {"p", "head"},
     "h2": {"p", "head"},
     "h3": {"p", "head"},
@@ -275,7 +275,9 @@ _END_PRIORITY = {
     "tfoot": 168,
     "table": 170,
     "head": 180,
-    "body": 190,
+    # body blocks like head (probed: '<head><noframes><body></head>' pops
+    # the whole chain — a 190 here wrongly blocked the </head>)
+    "body": 180,
     "html": 200,
 }
 
@@ -421,12 +423,16 @@ def _pi_name(s: str, pos: int) -> str | None:
 #: one-shot per-attribute matcher inside a start tag: optional blanks, then
 #: either the tag terminator or an attribute (name, optional =value where
 #: the value is quoted — possibly unterminated at EOF — or unquoted)
+# in-tag blanks are space/tab/cr/lf ONLY (libxml2 IS_BLANK): \f/\v are
+# ordinary junk chars — they TERMINATE names (then get skipped as a bogus
+# attribute) but are legal INSIDE unquoted values ('a=b\x0cc' -> 'b\x0cc',
+# probed)
 _RE_TAGPART = re.compile(
-    r"[ \t\n\r\f\v]*"
+    r"[ \t\n\r]*"
     r"(?:(?P<end>/?>)"
     r"|(?P<name>[a-zA-Z_:.][a-zA-Z0-9._:-]*)"
-    r"(?:[ \t\n\r\f\v]*=[ \t\n\r\f\v]*"
-    r"(?P<val>\"[^\"]*\"|'[^']*'|\"[^\"]*$|'[^']*$|[^ \t\n\r\f\v>]*))?)"
+    r"(?:[ \t\n\r]*=[ \t\n\r]*"
+    r"(?P<val>\"[^\"]*\"|'[^']*'|\"[^\"]*$|'[^']*$|[^ \t\n\r>]*))?)"
 )
 # numeric character references: the terminating ';' is OPTIONAL ('&#65'
 # decodes to 'A', probed against system libxml2 — htmlParseCharRef stops
@@ -440,7 +446,7 @@ _RE_ENTITY = re.compile(
     r"|#([0-9]+);?"
     r"|#[xX]?;?)"
 )
-_RE_WS_SKIP = re.compile(r"[ \t\n\r\f\v]*")
+_RE_WS_SKIP = re.compile(r"[ \t\n\r]*")
 _RE_DOCTYPE = re.compile(r"<!doctype", re.IGNORECASE)
 
 RE_HTML_ENCODING = re.compile(
@@ -515,6 +521,7 @@ class _TreeBuilder:
         "remove_pis",
         "pos",
         "saw_doctype",
+        "saw_misc",
         "left_prolog",
         "head_ever",
         "body_ever",
@@ -529,6 +536,7 @@ class _TreeBuilder:
         self.remove_pis = remove_pis
         self.pos = 0  # source char offset of the token being handled
         self.saw_doctype = False
+        self.saw_misc = False
         #: True once any markup token (even a bogus one) was seen — the
         #: prolog's leading-blank skipping stops at that point
         self.left_prolog = False
@@ -574,7 +582,10 @@ class _TreeBuilder:
         if tag in ("body", "head"):
             return
         if len(self.stack) <= 1 and tag in _HEAD_CONTENT:
-            if self.head_ever:
+            # implied head also stays suppressed once BODY content has
+            # been seen document-wide ('x</html><title>' nests the title
+            # directly under the re-opened html — probed libxml2)
+            if self.head_ever or self.body_ever:
                 return
             self._push_new("head")
             self.head_ever = True
@@ -595,15 +606,33 @@ class _TreeBuilder:
         # misplaced (a late <head>/<body> still closes an open <p>)
         self._auto_close(tag)
 
-        if not self.stack and self.root is not None and self.saw_doctype:
-            # with a DTD present, elements after the root closed are
-            # discarded rather than re-opening a container (observed)
+        if not self.stack and self.root is not None and (
+            self.saw_doctype or self.saw_misc
+        ):
+            # with a DTD or any prolog-level comment/PI present, elements
+            # after the root closed are discarded rather than re-opening
+            # a container (observed)
             return
+        if not self.stack and self.root is not None:
+            # the root has closed: this element re-opens a NESTED <html>
+            # container (via _check_implied) that re-accepts EXPLICIT
+            # <head>/<body> ('<head></html><head>' nests a second head)
+            # — but head_ever/body_ever are INHERITED, so IMPLIED
+            # head/body stay suppressed ('<head></html><meta>' puts the
+            # meta directly under the nested html; '<body>y</html>x'
+            # gets a bare implied <p>) — probed libxml2
+            self.html_state = 0
 
         if tag == "html" and self.stack:
             self.discard_depth += 1
             return
-        if tag == "head" and self.html_state >= 3:
+        if tag == "head" and (
+            self.html_state >= 3
+            or (self.stack and self.stack[-1].tag != "html")
+        ):
+            # a <head> is also discarded while ANY element is open other
+            # than the root ('<frameset><head>' / '<noframes><head>' drop
+            # it even though no body was ever implied — probed libxml2)
             self.discard_depth += 1
             return
         if tag == "body" and self.html_state >= 10:
@@ -658,9 +687,9 @@ class _TreeBuilder:
         if not self.stack:
             if not s.strip(" \t\n\r\f\v") and not forced:
                 return  # doc-level blank runs are always dropped
-            if self.root is not None and self.saw_doctype:
-                # with a DTD present, stray doc-level text after the root
-                # is discarded (observed libxml2 recovery)
+            if self.root is not None and (self.saw_doctype or self.saw_misc):
+                # with a DTD or prolog comment/PI present, stray doc-level
+                # text after the root is discarded (observed libxml2)
                 return
             if self.root is None:
                 # implied <p> (libxml2's htmlCheckParagraph with empty stack)
@@ -669,7 +698,10 @@ class _TreeBuilder:
                 self._push_new("p")
             else:
                 # after the root closed: re-open an html container (observed
-                # libxml2 recovery behavior), then the implied-p rule applies
+                # libxml2 recovery behavior; html_state re-arms but
+                # head/body_ever are inherited — see start()), then the
+                # implied-p rule applies
+                self.html_state = 0
                 self._check_implied("p")
                 self._push_new("p")
         else:
@@ -701,6 +733,11 @@ class _TreeBuilder:
             node.text = s if node.text is None else node.text + s
 
     def comment(self, content: str):
+        if not self.stack and self.root is None:
+            # a document-level comment before the root makes after-root
+            # content DISCARDED later (same gate as a doctype — probed:
+            # '<!---->x</html>y' drops the y where 'x</html>y' nests it)
+            self.saw_misc = True
         if self.remove_comments or not self.stack:
             return
         el = Element(Comment)
@@ -708,6 +745,8 @@ class _TreeBuilder:
         self.stack[-1].append(el)
 
     def pi(self, target: str, content: str):
+        if not self.stack and self.root is None:
+            self.saw_misc = True  # same after-root gate as comments
         if self.remove_pis or not self.stack:
             return
         el = Element(PI)
@@ -831,14 +870,17 @@ def parse_html(
                 stop = n if end < 0 else end + 1
                 if i == misplaced_doctype_end:
                     # a doctype IMMEDIATELY after a consumed misplaced
-                    # doctype stays literal text ('0<!doctype x>
-                    # <!doctype y>' consumes both, but with zero chars
-                    # between them the second one survives verbatim —
-                    # probed libxml2); any intervening char resets.  In
-                    # the prolog the leading '<' is dropped like any
-                    # bogus prolog '<' ('<!dx><!dy><!dz>' -> '!doctype
-                    # z>')
-                    pending_text.append(s[i + 1 if in_prolog() else i : stop])
+                    # doctype stays literal ('0<!doctype x><!doctype y>'
+                    # consumes both, but with zero chars between them the
+                    # second survives); the '<' goes through the bogus-'<'
+                    # path (raw text at the CURRENT insertion point,
+                    # dropped in the prolog) and the remainder is plain
+                    # chardata — '<html><!DOCTYPE a><!DOCTYPE b></html>'
+                    # puts '<' in html.text and '!DOCTYPE b>' in an
+                    # implied <p> (probed libxml2)
+                    if not in_prolog():
+                        b.raw_text("<")
+                    pending_text.append(s[i + 1 : stop])
                     misplaced_doctype_end = -1
                 else:
                     # misplaced = after content OR after a prior doctype
@@ -902,12 +944,17 @@ def parse_html(
         elif nxt == "/":
             if i == misplaced_doctype_end:
                 # like a doctype, an END TAG with zero chars between it
-                # and a consumed misplaced doctype stays literal text
-                # ('0<!doctype x></p>' -> '0</p>'); start tags, comments
-                # and PIs there parse normally — probed libxml2
+                # and a consumed misplaced doctype stays literal
+                # ('0<!doctype x></p>' -> '0</p>'); the '<' routes
+                # through the bogus-'<' raw-text path at the CURRENT
+                # insertion point, the rest is plain chardata; start
+                # tags, comments and PIs there parse normally — probed
                 gt = s.find(">", i + 2)
                 stop = n if gt < 0 else gt + 1
-                pending_text.append(s[i + 1 if in_prolog() else i : stop])
+                flush_text()
+                if not in_prolog():
+                    b.raw_text("<")
+                pending_text.append(s[i + 1 : stop])
                 misplaced_doctype_end = -1
                 i = stop
                 continue
@@ -945,7 +992,7 @@ def parse_html(
                         break
                     # bogus attribute: skip up to the next blank or tag end,
                     # then continue scanning attributes (libxml2 recovery)
-                    while j < n and s[j] not in " \t\n\r\f\v>" and not (
+                    while j < n and s[j] not in " \t\n\r>" and not (
                         s[j] == "/" and j + 1 < n and s[j + 1] == ">"
                     ):
                         j += 1
@@ -995,9 +1042,18 @@ def parse_html(
                 el = b.stack[-1]
                 pos = j
                 parts = []
+                # tag-specific escape start tags in MARKUP-DISPATCH state
+                # (derived by probing the full tag universe at content
+                # start): '<noscript' closes a script; '<body' and
+                # '<frameset' close a style; none applies mid-CDATA
+                escapes = (
+                    ("<noscript",) if tag == "script" else ("<body", "<frameset")
+                )
                 while b.stack and b.stack[-1] is el and pos < n:
-                    if tag == "script" and s[pos : pos + 9].lower() == "<noscript":
-                        b.end("script")
+                    if any(
+                        s[pos : pos + len(tok)].lower() == tok for tok in escapes
+                    ):
+                        b.end(tag)
                         break
                     if s.startswith("</", pos):
                         m2 = _RE_NAME.match(s, pos + 2)

@@ -262,3 +262,36 @@ def test_fuzz_rawtext(doc):
 @example(doc='<th><div><tbody></th><table>').via('row-group end-tag blocking behind a shield')
 def test_fuzz_tables(doc):
     assert treediff.compare(doc) == [], doc
+
+
+# structural dialect: html/head/body/frameset instances, doctypes,
+# comments/PIs at document level, after-root recovery — uncovered the
+# nested-html re-open state rules, the saw_misc after-root gate, the
+# frameset/body rawtext escapes and the </head>-through-body pop
+_struct_doc = st.lists(
+    st.sampled_from(
+        ["<html>", "</html>", "<head>", "</head>", "<body>", "</body>",
+         "<title>", "</title>", "<meta>", "<link>", "<base>", "<script>",
+         "</script>", "<style>", "</style>", "x", " ", "<p>", "</p>",
+         "<div>", "</div>", "<!DOCTYPE html>", "<frameset>", "</frameset>",
+         "<noframes>", "</noframes>", "<frame>", "<!--c-->", "<?a?>",
+         "<noscript>", "</noscript>"]
+    ),
+    max_size=14,
+).map("".join)
+
+
+@needs_oracle
+@settings(max_examples=250, deadline=None)
+@given(_struct_doc)
+@example(doc='<head></html><head>').via('nested html re-accepts an explicit head')
+@example(doc='<head></html><meta>').via('head_ever inherited: no implied head in nested html')
+@example(doc='x</html><title>').via('implied head suppressed once body content seen')
+@example(doc='<!---->0</html>0').via('prolog comment gates after-root discard')
+@example(doc='<title><frameset>').via('frameset start-closes title+head')
+@example(doc='<style><body>').via('body escapes style rawtext at content start')
+@example(doc='<frameset><head>').via('head discarded while a non-root element is open')
+@example(doc='<head><noframes><body></head><head>').via('</head> pops through body (end priority 180)')
+@example(doc='<html><!DOCTYPE html></html>').via('literal < routes through raw_text insertion point')
+def test_fuzz_structure(doc):
+    assert treediff.compare(doc) == [], doc
