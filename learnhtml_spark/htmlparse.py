@@ -311,6 +311,10 @@ _RE_INVALID_TEXT = re.compile(
 
 _RE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
 
+#: END-tag names additionally START with '.', '_' or ':' (probed:
+#: '</.x>' is a consumed end tag while '</-' and '</9' are bogus text)
+_RE_ENDNAME = re.compile(r"[a-zA-Z_:.][a-zA-Z0-9._:-]*")
+
 def _decode_ranges(spec: str):
     out = []
     for part in spec.replace("\n", "").split(","):
@@ -861,10 +865,15 @@ def parse_html(
                 else:
                     i = n
             elif _RE_DOCTYPE.match(s, i):
-                # flush BEFORE the state updates below: the pending run
-                # belongs to the pre-doctype prolog state (the misplaced
-                # marker's left_prolog side-effect must not retroactively
-                # keep blanks that libxml2 already skipped)
+                # misplacement is judged on the RAW pending stream (a
+                # dropped invalid char like \x08 still counts as content
+                # — '\x08<!doctype x></div>' treats the doctype as
+                # misplaced), then the pending run flushes BEFORE the
+                # state updates so the marker's left_prolog side-effect
+                # cannot retroactively keep blanks libxml2 skipped
+                misplaced = (
+                    b.left_prolog or b.saw_doctype or not in_prolog()
+                )
                 flush_text()
                 end = s.find(">", i)
                 stop = n if end < 0 else end + 1
@@ -885,7 +894,7 @@ def parse_html(
                 else:
                     # misplaced = after content OR after a prior doctype
                     # (only the first prolog doctype is legitimate)
-                    if b.left_prolog or b.saw_doctype or not in_prolog():
+                    if misplaced:
                         misplaced_doctype_end = stop
                         # the misplaced-DTD error also ends the prolog
                         # blank skip ('<!dx><!dy> 0' keeps the space)
@@ -949,16 +958,28 @@ def parse_html(
                 # through the bogus-'<' raw-text path at the CURRENT
                 # insertion point, the rest is plain chardata; start
                 # tags, comments and PIs there parse normally — probed
-                gt = s.find(">", i + 2)
-                stop = n if gt < 0 else gt + 1
                 flush_text()
                 if not in_prolog():
                     b.raw_text("<")
+                if _RE_ENDNAME.match(s, i + 2):
+                    # named end tag: literal through its '>' but never
+                    # across a '<' ('0<!doctype x></p<div>' keeps
+                    # '0</p' and parses the <div> — probed libxml2)
+                    gt = s.find(">", i + 2)
+                    lt = s.find("<", i + 2)
+                    stop = n if gt < 0 else gt + 1
+                    if 0 <= lt < stop:
+                        stop = lt
+                else:
+                    # bogus '</': only the two chars go literal, the rest
+                    # reprocesses normally ('0<!doctype x></<div>' keeps
+                    # '0</' and parses the <div> — probed libxml2)
+                    stop = i + 2
                 pending_text.append(s[i + 1 : stop])
                 misplaced_doctype_end = -1
                 i = stop
                 continue
-            m = _RE_NAME.match(s, i + 2)
+            m = _RE_ENDNAME.match(s, i + 2)
             if m:
                 tag = m.group(0).lower()
                 end = s.find(">", m.end())
@@ -1056,15 +1077,19 @@ def parse_html(
                         b.end(tag)
                         break
                     if s.startswith("</", pos):
-                        m2 = _RE_NAME.match(s, pos + 2)
+                        m2 = _RE_ENDNAME.match(s, pos + 2)
                         if m2:
                             gt = s.find(">", m2.end())
                             b.end(m2.group(0).lower())
                             pos = n if gt < 0 else gt + 1
                             continue
-                        # '</' + non-name: the two chars are dropped,
-                        # the rest is CDATA text
+                        # '</' + non-name: the two chars are dropped;
+                        # a '<' right after stays MARKUP ('<script></
+                        # </div>' dispatches the next end tag), anything
+                        # else resumes CDATA ('</ </div>' is text)
                         pos += 2
+                        if pos < n and s[pos] == "<":
+                            continue
                     # CDATA: consume until '</' + name-prefix-match
                     k = pos
                     while True:

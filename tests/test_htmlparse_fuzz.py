@@ -295,3 +295,41 @@ _struct_doc = st.lists(
 @example(doc='<html><!DOCTYPE html></html>').via('literal < routes through raw_text insertion point')
 def test_fuzz_structure(doc):
     assert treediff.compare(doc) == [], doc
+
+
+# grand-mixed dialect: every token family interleaved — catches
+# interaction bugs between the per-family rules (rawtext markup-state ×
+# bogus end tags, misplaced-doctype literals × bogus '</', invalid
+# chars × doctype misplacement)
+_grand_tok = st.one_of(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00", max_codepoint=0x3FF),
+        max_size=8,
+    ),
+    st.builds(lambda t: f"<{t}>", st.sampled_from(
+        TAGS + ["table", "tr", "td", "thead", "tbody", "title", "noscript",
+                "frameset", "noframes", "head", "body", "html"])),
+    st.builds(lambda t: f"</{t}>", st.sampled_from(
+        TAGS + ["table", "tr", "td", "thead", "title", "head", "body",
+                "html", "script", "style"])),
+    st.sampled_from(
+        ["&#", "&#x41", "&#9;", "&#0 ", "&amp;", "&amp", "<!--c-->", "<!--",
+         "-->", "--!>", "<!doctype x>", "<??>", "<?a", "<?a?>", "<script>",
+         "<style>", "</scriptx>", " ", "\t", "<", ">", "</", "<!", "<3",
+         '<div id="" id=>', "<p a='&#1;x'>", "</.", "</.x>", "</_x>", "</-",
+         "\x08"]
+    ),
+)
+_grand_doc = st.lists(_grand_tok, max_size=20).map("".join)
+
+
+@needs_oracle
+@settings(max_examples=300, deadline=None)
+@given(_grand_doc)
+@example(doc='<script></</div>').via("dropped '</' followed by '<' stays in markup state")
+@example(doc='0<!doctype x></<div>').via("bogus '</' at the doctype mark goes literal as two chars")
+@example(doc='\x08<!doctype x></div>').via('dropped invalid char still counts for misplacement')
+@example(doc='0<!doctype x></p<div>').via("literal end tag never crosses a '<'")
+@example(doc='</.').via("'.', '_' and ':' start END-tag names")
+def test_fuzz_grand_mixed(doc):
+    assert treediff.compare(doc) == [], doc
