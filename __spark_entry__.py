@@ -966,7 +966,39 @@ def q_cluster_keepers(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION POLICY: the driver's correctness gate checks only the FIRST 50
+    # registry entries, so insertion order IS the verification budget. Keys
+    # are kept least-recently-attested-first: queries that have never had a
+    # green driver CORRECTNESS row (or whose last row was red) come first,
+    # then queries whose newest green row is oldest, then the most recently
+    # attested. After each round, rotate: freshly attested queries sink, the
+    # oldest attestations float back into the 50-query window. New queries
+    # are always inserted at the top (never attested). See README "Driver
+    # correctness rotation".
     return {
+        # -- never driver-attested (new in r5, registered after the cutoff)
+        #    or red last round (pack_sequences: oracle-typing fix this round)
+        "asof_events": q_asof_events,
+        "range_join": q_range_join,
+        "range_pairs": q_range_pairs,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "cluster_size_hist": q_cluster_size_hist,
+        "cluster_keepers": q_cluster_keepers,
+        "incremental_dedup": q_incremental_dedup,
+        "pack_sequences": q_pack_sequences,
+        # -- last attested in round 4 (pushed out of r5's 50-query window)
+        "media_features": q_media_features,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "doc_split": q_doc_split,
+        "join_stats": q_join_stats,
+        "source_rollup": q_source_rollup,
+        "source_quantiles": q_source_quantiles,
+        "sibling_pos": q_sibling_pos,
+        "group_topk": q_group_topk,
+        "topk_docs": q_topk_docs,
+        # -- attested green in round 5 (original order; the tail past entry
+        #    50 rotates out this round and floats back next round)
         "extract_spans": q_extract_spans,
         "node_features": q_node_features,
         "label_ratios": q_label_ratios,
@@ -999,7 +1031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "tfidf_topk": q_tfidf_topk,
-        "pack_sequences": q_pack_sequences,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
@@ -1017,23 +1048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "quantile_filter": q_quantile_filter,
-        "media_features": q_media_features,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "doc_split": q_doc_split,
-        "join_stats": q_join_stats,
-        "source_rollup": q_source_rollup,
-        "source_quantiles": q_source_quantiles,
-        "sibling_pos": q_sibling_pos,
-        "group_topk": q_group_topk,
-        "topk_docs": q_topk_docs,
-        "asof_events": q_asof_events,
-        "range_join": q_range_join,
-        "range_pairs": q_range_pairs,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "cluster_size_hist": q_cluster_size_hist,
-        "cluster_keepers": q_cluster_keepers,
-        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1664,15 +1678,20 @@ base as (
   from toks where len(t) > 0
 ),
 cum as (
+  -- DuckDB's window sum(bigint) yields HUGEINT which lands in pandas as
+  -- float64; the driver's typed hash then diverges from Spark's int64 even
+  -- when every value is identical. Cast the running sum and both integer
+  -- divisions back to bigint so the oracle's dtypes match the engine's.
   select doc_id, bucket, n_tokens,
          coalesce(sum(n_tokens) over (
            partition by bucket order by doc_id
-           rows between unbounded preceding and 1 preceding), 0) as start_tok
+           rows between unbounded preceding and 1 preceding), 0)::bigint
+           as start_tok
   from base
 )
 select doc_id, bucket, n_tokens, start_tok,
-       start_tok // 512 as first_bin,
-       (start_tok + n_tokens - 1) // 512 as last_bin
+       (start_tok // 512)::bigint as first_bin,
+       ((start_tok + n_tokens - 1) // 512)::bigint as last_bin
 from cum
 """
 
