@@ -320,9 +320,14 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
+    # cap passed EXPLICITLY (the library default is uncapped/full-recall;
+    # ADVICE r5): this query pins the capped scale form, and the oracle
+    # SQL mirrors the same max_band_group filter
     from learnhtml_spark.functions.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=16, band_size=4)
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=16, band_size=4, max_band_group=1000
+    )
 
 
 def q_neardup_groups(spark, sf_dir):
@@ -367,7 +372,9 @@ def q_neardup_pipe(spark, sf_dir):
     # form of the verification step)
     from learnhtml_spark.functions.dedup import neardup_pairs
 
-    return neardup_pairs(_docs(spark, sf_dir), threshold=0.4)
+    return neardup_pairs(
+        _docs(spark, sf_dir), threshold=0.4, max_band_group=1000
+    )
 
 
 def q_dedup_stream(spark, sf_dir):

@@ -175,19 +175,24 @@ def cmd_train(args):
             seed=args.random_seed,
             spark=spark,
         )
+        # reference cli/script.py:175-176 formats {suffix} with
+        # 'scores.csv' / 'cv.csv' (extension included) — match exactly
         pd.DataFrame({"run_nb": range(len(scores)), "f1": scores}).to_csv(
-            args.score_files.format(suffix="scores"), index=False
+            args.score_files.format(suffix="scores.csv"), index=False
         )
-        results.to_csv(args.score_files.format(suffix="cv"), index=False)
+        results.to_csv(args.score_files.format(suffix="cv.csv"), index=False)
         print(f"nested-cv f1 per external fold: {np.round(scores, 4).tolist()}")
 
+    # final search + refit uses the EXTERNAL folds, like the reference's
+    # cv_train call (cli/script.py:184-187) — the internal folds only
+    # drive the nested-CV inner search above
     best, results = selection.search_params(
         frames,
         labels,
         dists,
         n_iter=args.n_iter,
-        n_folds=int_n,
-        total_folds=int_total,
+        n_folds=ext_n,
+        total_folds=ext_total,
         seed=args.random_seed,
         spark=spark,
     )
@@ -337,8 +342,8 @@ def main(argv=None):
                    metavar=("N_FOLDS", "TOTAL_FOLDS"),
                    help="internal search loop folds")
     p.add_argument("--score-files", default=None,
-                   help="output pattern with {suffix} -> 'scores'/'cv' CSVs "
-                        "(runs nested CV, reference --score-files)")
+                   help="output pattern with {suffix} -> 'scores.csv'/"
+                        "'cv.csv' (runs nested CV, reference --score-files)")
     p.add_argument("--model-file", default=None,
                    help="refit best params on everything and save here")
     p.add_argument("--random-seed", type=int, default=42)

@@ -397,30 +397,36 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     band_size: int = 4,
     k: int = 3,
-    max_band_group: int = 1000,
+    max_band_group: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the minhash signature are
     candidate near-duplicates — (doc_a, doc_b) distinct pairs.
 
-    ``max_band_group`` caps the self-join blowup (VERDICT r4 #2): a web
-    corpus has duplicate clusters of 10^5-10^6 identical pages, and one
-    hot (band, band_sig) group of m colliding docs would emit O(m²)
-    pairs into the distinct — a straggler that never finishes.  Band
-    groups larger than the cap are dropped from PAIR output (the
-    ``max_shingle_freq`` pattern); mega-cluster dedup is served by the
-    O(m)-per-group keeper-edge form, ``neardup_groups``, which is the
-    scale-default.  The count guard is a window over the band rows whose
-    (band, band_sig)-hash exchange the self-join then reuses."""
+    RECALL CONTRACT: the DEFAULT is uncapped — every colliding pair is
+    emitted, the full LSH semantics a caller reasonably assumes.  Set
+    ``max_band_group`` explicitly to cap the self-join blowup at scale
+    (VERDICT r4 #2): a web corpus has duplicate clusters of 10^5-10^6
+    identical pages, and one hot (band, band_sig) group of m colliding
+    docs would emit O(m²) pairs into the distinct — a straggler that
+    never finishes.  Band groups larger than the cap are then DROPPED
+    from pair output entirely (reduced recall on exactly the hottest
+    clusters — an explicit opt-in, never a silent default; ADVICE r5).
+    Mega-cluster dedup at scale is served by the O(m)-per-group
+    keeper-edge form, ``neardup_groups``, which needs no cap.  The count
+    guard is a window over the band rows whose (band, band_sig)-hash
+    exchange the self-join then reuses."""
     from pyspark.sql import Window
 
     bands = lsh_band_rows(docs, num_hashes, band_size, k)
-    bands = (
-        bands.withColumn(
-            "_m", F.count("*").over(Window.partitionBy("band", "band_sig"))
+    if max_band_group is not None:
+        bands = (
+            bands.withColumn(
+                "_m",
+                F.count("*").over(Window.partitionBy("band", "band_sig")),
+            )
+            .filter(F.col("_m") <= max_band_group)
+            .drop("_m")
         )
-        .filter(F.col("_m") <= max_band_group)
-        .drop("_m")
-    )
     a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -491,6 +497,97 @@ def neardup_clean(
     )
 
 
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Canonicalize an (x, y) pair list to undirected form: (a, b) with
+    a < b, self-loops dropped, distinct."""
+    return (
+        df.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014): every node u connects each
+    STRICTLY LARGER neighbor to m(u) = min(Gamma(u) + {u}).  Needs the
+    full neighborhood per node, so the canonical list is doubled first."""
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nmin = und.groupBy("a").agg(F.min("b").alias("nmin"))
+    ann = und.join(nmin, "a").withColumn("m", F.least("a", "nmin"))
+    return _canon_edges(
+        ann.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("x"), F.col("m").alias("y")
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node u connects its SMALLER-OR-EQUAL
+    neighborhood (plus itself) to that set's minimum.  In canonical
+    (a < b) form a node's smaller neighbors are exactly its a-sides, so
+    no doubling is needed — one aggregate + one join."""
+    gmin = edges.groupBy("b").agg(F.min("a").alias("m"))
+    ann = edges.join(gmin, "b")
+    out = (
+        ann.filter(F.col("a") != F.col("m"))
+        .select(F.col("a").alias("x"), F.col("m").alias("y"))
+        .unionByName(
+            gmin.select(F.col("b").alias("x"), F.col("m").alias("y"))
+        )
+    )
+    return _canon_edges(out)
+
+
+def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Contract an undirected canonical edge list (a < b, distinct) to
+    star graphs centered at each connected component's minimum node, via
+    alternating large-star/small-star rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — O(log d) rounds vs
+    min-label propagation's O(diameter), with the same loud-failure
+    contract on ``max_iter`` exhaustion.  Returns (star_edges, rounds);
+    at the fixed point every edge is (component_min, member).
+
+    Each round is two shuffled aggregates + two shuffled joins,
+    ``localCheckpoint`` so the plan stays O(1) deep; convergence is
+    checked PER OPERATOR (the paper's criterion: a fixed point of both
+    large-star and small-star is a disjoint union of min-centered stars)
+    via a (count, double-seeded xxhash64 bit_xor) edge-set signature —
+    the edge lists are canonical and distinct, so signature equality is
+    set equality up to a ~2^-128 hash collision (xor, not sum: ANSI mode
+    makes a 64-bit hash sum overflow loudly)."""
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h1"),
+            F.expr("bit_xor(xxhash64(1, a, b))").alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = _sig(edges)
+    if prev[0] == 0:
+        return edges, 0
+    for rounds in range(1, max_iter + 1):
+        e1 = _large_star(edges).localCheckpoint(eager=True)
+        s1 = _sig(e1)
+        edges = _small_star(e1).localCheckpoint(eager=True)
+        cur = _sig(edges)
+        if s1 == prev and cur == s1:
+            return edges, rounds
+        prev = cur
+    # silently returning partial contraction would split one transitive
+    # component into several with no signal — fail loudly instead
+    raise RuntimeError(
+        f"dup_clusters did not converge within max_iter={max_iter} "
+        "star rounds; raise max_iter"
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -504,82 +601,51 @@ def dup_clusters(
     batch closure ``neardup_groups`` deliberately does not compute (A~B
     via band 1 and B~C via band 2 puts A,B,C in one cluster here).
 
-    Algorithm: iterative min-label propagation over the undirected
-    (doc, band-group-min) edges — each round one shuffle join + one
-    map-side-combined min aggregate, ``localCheckpoint`` per round so the
-    plan stays O(1) deep, terminating when no label changes (bounded by
-    component diameter, which for keeper-star graphs is small).  At true
-    web scale the alternating large-star/small-star variant (Kiveris et
-    al., "Connected Components in MapReduce") drops rounds to
-    O(log diameter); plain propagation keeps the oracle-replayable
-    single-rule semantics here and the per-round plan is identical.
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al. 2014) over the undirected (doc, band-group-min) edges —
+    O(log diameter) rounds, so chain-shaped components that would cost
+    min-label propagation one shuffle round per hop collapse in a
+    handful of rounds at any scale.  See ``_star_contract``.
 
-    This is genuinely iterative — the SQL oracle replays it as a
-    recursive CTE over the same edges.
+    This is genuinely iterative — the SQL oracle replays the SEMANTICS
+    (transitive closure, min label) as a recursive CTE over the same
+    edges; the fixed point is algorithm-independent.
 
     Edges are the per-band-group STAR edges (every member -> its group's
     min doc_id, O(m) rows per group) — NOT ``neardup_groups``'s per-doc
     one-hop keeper: collapsing a doc's bands to one keeper loses the
     co-membership of a group's own min member (G={B,X} with X's global
     keeper A<B would leave B edgeless), which breaks transitivity."""
-    # the minhash signature is computed ONCE (bands checkpointed); edges,
-    # nodes and every propagation round derive from materialized blocks
+    # the minhash signature is computed ONCE (bands checkpointed); edges
+    # and nodes derive from materialized blocks
     bands = lsh_band_rows(docs, num_hashes, band_size, k).localCheckpoint(
         eager=True
     )
     grp_min = bands.groupBy("band", "band_sig").agg(
         F.min("doc_id").alias("grp_min")
     )
-    edges = (
-        bands.join(grp_min, ["band", "band_sig"])
-        .filter(F.col("grp_min") != F.col("doc_id"))
-        .select(F.col("doc_id").alias("a"), F.col("grp_min").alias("b"))
-        .distinct()
-    )
-    und = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    und = und.localCheckpoint(eager=True)
-    labels = (
-        bands.select("doc_id")
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    # labels only ever DECREASE (min propagation), so sum(lbl) strictly
-    # drops on any change — a one-aggregate convergence probe instead of a
-    # join-per-round changed-count (halves the per-round job count)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        msgs = (
-            und.join(labels, und.a == labels.doc_id)
-            .select(F.col("b").alias("doc_id"), "lbl")
+    edges = _canon_edges(
+        bands.join(grp_min, ["band", "band_sig"]).select(
+            F.col("doc_id").alias("x"), F.col("grp_min").alias("y")
         )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+    )
+    stars, _ = _star_contract(edges, max_iter)
+    # at the fixed point each component is a star (min, member): members
+    # label to their a-side, centers (a-side only) label to themselves;
+    # singleton docs never enter the edge list and also label to self
+    labels = stars.select(
+        F.col("b").alias("doc_id"), F.col("a").alias("lbl")
+    )
+    nodes = bands.select("doc_id").distinct()
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lbl", "doc_id").alias("cluster_id"),
+            F.coalesce(F.col("lbl") != F.col("doc_id"), F.lit(False)).alias(
+                "is_duplicate"
+            ),
         )
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        # silently returning partial labels would split one transitive
-        # component into several with no signal — fail loudly instead
-        # (component diameter exceeded max_iter; raise it, or switch to
-        # the large-star/small-star O(log d) variant for such graphs)
-        raise RuntimeError(
-            f"dup_clusters did not converge within max_iter={max_iter} "
-            "rounds (component diameter too large); raise max_iter"
-        )
-    return labels.select(
-        "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        (F.col("lbl") != F.col("doc_id")).alias("is_duplicate"),
     )
 
 
@@ -789,7 +855,7 @@ def neardup_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     k: int = 3,
-    max_band_group: int = 1000,
+    max_band_group: int | None = None,
 ) -> DataFrame:
     """The 100 TB dedup pipeline: MinHash-LSH candidate generation, then
     exact Jaccard verification over CANDIDATE PAIRS ONLY — never the
@@ -797,6 +863,8 @@ def neardup_pairs(
     small-scale/oracle form of that verification).
 
     (doc_a, doc_b, jaccard) for candidates with jaccard >= threshold.
+    ``max_band_group`` defaults to uncapped (full recall); see
+    ``minhash_lsh_candidates`` for the explicit opt-in cap semantics.
 
     Plan shape: candidates are tiny relative to the corpus (bounded by
     band collisions), so both verification joins hash-partition the
@@ -891,15 +959,27 @@ def cluster_keepers(
     struct-min aggregate per cluster — ``min(struct(-quality, doc_id))``
     selects argmax(quality) with deterministic tie-break in a single
     pass, no per-cluster window — and one join of the per-cluster
-    keeper row (one row per cluster) back on cluster_id."""
+    keeper row (one row per cluster) back on cluster_id.
+
+    The quality metric keeps its INPUT dtype (a long cast would silently
+    truncate float scores), and NULL quality never wins: struct-min
+    sorts NULL fields first, so a bare ``-q`` key would crown a
+    null-quality doc over any scored one — the leading null-flag field
+    demotes them, and an all-NULL cluster falls back to min doc_id."""
     lab = dup_clusters(docs, num_hashes, band_size, k, max_iter)
     q = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(quality_col).cast("long").alias("_q"),
+        F.col(quality_col).alias("_q"),
     )
     j = lab.join(q, "doc_id")
     keepers = j.groupBy("cluster_id").agg(
-        F.min(F.struct((-F.col("_q")).alias("nq"), F.col("doc_id").alias("d")))
+        F.min(
+            F.struct(
+                F.col("_q").isNull().cast("int").alias("nullq"),
+                (-F.coalesce(F.col("_q"), F.lit(0))).alias("nq"),
+                F.col("doc_id").alias("d"),
+            )
+        )
         .getField("d")
         .alias("keeper_id")
     )

@@ -46,49 +46,58 @@ def asof_join(
     as-of).  Output: all probe columns + ``payload_cols`` (from dim) +
     ``_dim_ts`` (the matched dim row's timestamp).
 
+    The whole dim payload travels as ONE struct through a single
+    ``last(ignorenulls)`` — per-column fills would stitch the output
+    from DIFFERENT dim rows whenever the latest matching row has a NULL
+    payload value (true as-of / DuckDB ASOF semantics are row-atomic: a
+    NULL in the matched row is the answer, not a reason to reach back).
+    Among dim rows tied on (key, ts) the winner is made deterministic
+    by a value-hash tie-break in the window ordering (highest payload
+    xxhash64 wins) — stable across shuffles and reruns.
+
     Payload column names must not collide with probe column names."""
     clash = set(payload_cols) & set(probe.columns)
     if clash:
         raise ValueError(f"payload columns collide with probe columns: {clash}")
-    p = probe.withColumn("_is_probe", F.lit(1)).withColumn(
-        "_dim_ts_src", F.lit(None).cast(dim.schema[ts].dataType)
-    )
-    for c in payload_cols:
-        p = p.withColumn(c, F.lit(None).cast(dim.schema[c].dataType))
     d = dim.select(
         key,
         ts,
         F.lit(0).alias("_is_probe"),
-        F.col(ts).alias("_dim_ts_src"),
-        *payload_cols,
+        F.struct(
+            F.col(ts).alias("_ats"), *[F.col(c) for c in payload_cols]
+        ).alias("_pkt"),
+        F.xxhash64(key, ts, *payload_cols).alias("_tie"),
+    )
+    pkt_type = d.schema["_pkt"].dataType
+    p = (
+        probe.withColumn("_is_probe", F.lit(1))
+        .withColumn("_pkt", F.lit(None).cast(pkt_type))
+        .withColumn("_tie", F.lit(0).cast("long"))
     )
     for c in probe.columns:
         if c not in (key, ts):
             d = d.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
     u = p.select(*p.columns).unionByName(d.select(*p.columns))
     # dim sorts BEFORE probe at equal ts (_is_probe 0 < 1) => inclusive
-    # (probe.ts >= dim.ts) matching; among equal-ts dim rows the later
-    # window frame row wins, i.e. last() — ties broken by the ordering
-    # below being stable within the frame scan
+    # (probe.ts >= dim.ts) matching; last() takes the latest in-frame
+    # dim packet, _tie disambiguating equal-ts dim rows
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
+        .orderBy(
+            F.col(ts).asc(), F.col("_is_probe").asc(), F.col("_tie").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
         *u.columns,
-        F.last("_dim_ts_src", ignorenulls=True).over(w).alias("_dim_ts"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_fill_{c}")
-            for c in payload_cols
-        ],
+        F.last("_pkt", ignorenulls=True).over(w).alias("_fill"),
     )
     res = (
-        filled.filter((F.col("_is_probe") == 1) & F.col("_dim_ts").isNotNull())
+        filled.filter((F.col("_is_probe") == 1) & F.col("_fill").isNotNull())
         .select(
             *[c for c in probe.columns],
-            "_dim_ts",
-            *[F.col(f"_fill_{c}").alias(c) for c in payload_cols],
+            F.col("_fill").getField("_ats").alias("_dim_ts"),
+            *[F.col("_fill").getField(c).alias(c) for c in payload_cols],
         )
     )
     return res

@@ -1044,7 +1044,7 @@ def parse_html(
             flush_text()
             b.left_prolog = True
             b.start(tag, attrib, self_closing)
-            i = j if closed or j >= n else j
+            i = j
             if tag in _RAWTEXT and not self_closing and b.stack and b.stack[-1].tag == tag:
                 # CDATA mode (script/style), recovery semantics observed
                 # from libxml2 — two alternating states:

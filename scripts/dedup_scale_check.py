@@ -88,8 +88,8 @@ def main():
     d10 = spark.read.parquet(p10)
 
     ops = {
-        "minhash_lsh": lambda d: minhash_lsh_candidates(d),
-        "neardup_pipe": lambda d: neardup_pairs(d, threshold=0.4),
+        "minhash_lsh": lambda d: minhash_lsh_candidates(d, max_band_group=1000),
+        "neardup_pipe": lambda d: neardup_pairs(d, threshold=0.4, max_band_group=1000),
         "neardup_groups": lambda d: neardup_groups(d),
         "dup_clusters": lambda d: dup_clusters(d),
         "segment_dedup": lambda d: segment_dedup(d),

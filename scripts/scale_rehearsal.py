@@ -177,7 +177,7 @@ def main():
     dN = spark.read.parquet(os.path.join(BASE, f"docs_{factor}x"))
     for name, df in (("1x", d1), (f"{factor}x", dN)):
         n = df.count()
-        wall = timed(lambda: noop(neardup_pairs(df, threshold=0.4)))
+        wall = timed(lambda: noop(neardup_pairs(df, threshold=0.4, max_band_group=1000)))
         out["points"][f"neardup_{name}"] = {
             "docs": n, "wall_s": wall,
             "docs_per_sec": round(n / wall, 1),

@@ -85,6 +85,22 @@ def test_minhash_lsh_candidates(docs):
     assert all(a < b for a, b in pairs)    # canonical ordering
 
 
+def test_minhash_default_uncapped_full_recall(spark):
+    """ADVICE r5: the DEFAULT must emit every colliding pair (full LSH
+    recall) — the band-group cap is an explicit opt-in, never a silent
+    drop.  40 identical docs -> all C(40,2) pairs by default; the same
+    call with a small cap drops the hot group entirely."""
+    from learnhtml_spark.functions.dedup import minhash_lsh_candidates
+
+    rows = [(i, "identical page text repeated in every mirror", "en", "a")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    assert minhash_lsh_candidates(df).count() == 40 * 39 // 2
+    assert minhash_lsh_candidates(df, max_band_group=10).count() == 0
+
+
 def test_minhash_band_join_is_equi_join(docs):
     from learnhtml_spark.functions.dedup import minhash_lsh_candidates
 
@@ -601,6 +617,60 @@ def test_tfidf_topk_hand_checked(spark):
     assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
 
 
+def test_star_contract_chain_logarithmic_rounds(spark):
+    """The large-star/small-star kernel must close a CHAIN component —
+    min-label propagation's worst case, one round per hop — in
+    O(log diameter) rounds: for a 300-node path, within ~2*log2(n)
+    rounds, and every node must label to node 0.  Plus a random-graph
+    spot check against python union-find."""
+    import math
+    import random
+
+    from learnhtml_spark.functions.dedup import _star_contract
+
+    n = 300
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    stars, rounds = _star_contract(chain, max_iter=25)
+    assert rounds <= 2 * math.log2(n)  # ~16.5; propagation would need 299
+    got = {r["b"]: r["a"] for r in stars.collect()}
+    assert got == {i: 0 for i in range(1, n)}
+
+    # random sparse graph vs union-find ground truth
+    rng = random.Random(42)
+    m = 400
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(m)]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for x in range(200):
+        truth.setdefault(find(x), set()).add(x)
+    expected = {x: min(comp) for comp in truth.values() for x in comp}
+
+    edges = spark.createDataFrame(list(set(pairs)), "a long, b long")
+    stars, rounds = _star_contract(edges, max_iter=25)
+    assert rounds <= 2 * math.log2(200)
+    got = {r["b"]: r["a"] for r in stars.collect()}
+    # star edges cover every non-minimum node exactly once
+    for x, root in expected.items():
+        if x == root:
+            assert x not in got
+        else:
+            assert got[x] == root
+
+
 def test_dup_clusters_nonconvergence_raises(spark):
     """Exhausting max_iter without a fixed point must fail loudly, never
     return partially-propagated (split) components."""
@@ -1016,6 +1086,37 @@ def test_cluster_keepers_quality_argmax(spark):
         assert out[d]["keeper_id"] == 2
     assert out[4]["keeper_id"] == 4
     assert {d for d in out if out[d]["is_kept"]} == {2, 4}
+
+
+def test_cluster_keepers_float_and_null_quality(spark):
+    """Float quality must not be truncated (0.9 beats 0.2 even though
+    both truncate to 0) and NULL quality must never win keeper over a
+    scored member; an all-NULL cluster falls back to min doc_id."""
+    from learnhtml_spark.functions.dedup import cluster_keepers
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind distant purple mountains tonight")
+    other = ("entirely different words fill this second paragraph about "
+             "query planners shuffles and adaptive execution strategies")
+    rows = [
+        # cluster {1,2,3}: float qualities below 1.0 — a long cast would
+        # make them all ties (keeper 1); true argmax is doc 2
+        (1, base, 0.2),
+        (2, base + " extra", 0.9),
+        (3, base + " other", None),  # NULL must not beat 0.9
+        # cluster {4,5}: all-NULL quality -> min doc_id keeper
+        (4, other, None),
+        (5, other + " tail", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, score double"
+    )
+    out = {r["doc_id"]: r for r in
+           cluster_keepers(df, quality_col="score").collect()}
+    for d in (1, 2, 3):
+        assert out[d]["keeper_id"] == 2
+    for d in (4, 5):
+        assert out[d]["keeper_id"] == 4
 
 
 def test_cluster_keepers_no_per_cluster_window(spark):

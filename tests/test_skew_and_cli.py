@@ -247,7 +247,9 @@ def test_cli_train_nested_cv_score_files(tmp_path):
     import subprocess
     import sys
 
-    pattern = str(tmp_path / "out_{suffix}.csv")
+    # reference semantics: {suffix} is replaced by 'scores.csv'/'cv.csv'
+    # (extension included), so the pattern itself carries none
+    pattern = str(tmp_path / "out_{suffix}")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-m", "learnhtml_spark.cli", "train",

@@ -55,6 +55,57 @@ def test_asof_semantics(tiny):
     assert got[3] == (2.0, _ts("2024-01-01 00:00:30"))
 
 
+def test_asof_row_atomic_null_payload(spark):
+    """The matched dim row's NULL payload value must come through as
+    NULL — not be stitched from an older dim row — and every output
+    column must come from the SAME matched row (multi-payload check)."""
+    probe = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:01:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:10"), 1.0, "old"),
+            (10, _ts("2024-01-01 00:00:30"), None, "new"),
+        ],
+        "user_id long, ts timestamp, pval double, tag string",
+    )
+    out = asof_join(
+        probe, dim, key="user_id", ts="ts", payload_cols=["pval", "tag"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # row-atomic: both payload columns from the 00:00:30 row
+    assert r["_dim_ts"] == _ts("2024-01-01 00:00:30")
+    assert r["pval"] is None and r["tag"] == "new"
+
+
+def test_asof_equal_ts_dim_ties_deterministic(spark):
+    """Dim rows tied on (key, ts) must resolve to ONE deterministic
+    winner (value-hash tie-break), stable across repeated runs."""
+    probe = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:01:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:30"), "a"),
+            (10, _ts("2024-01-01 00:00:30"), "b"),
+            (10, _ts("2024-01-01 00:00:30"), "c"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    seen = set()
+    for _ in range(3):
+        rows = asof_join(
+            probe.repartition(4), dim.repartition(3),
+            key="user_id", ts="ts", payload_cols=["tag"],
+        ).collect()
+        assert len(rows) == 1
+        seen.add(rows[0]["tag"])
+    assert len(seen) == 1
+
+
 def test_asof_payload_collision_raises(tiny):
     probe, dim = tiny
     with pytest.raises(ValueError, match="collide"):
