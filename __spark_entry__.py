@@ -193,9 +193,10 @@ def q_source_overlap(spark, sf_dir):
 def q_hll_distinct(spark, sf_dir):
     # deterministic HyperLogLog distinct-fingerprint sketch per language
     # (m=16 registers from the md5 fingerprint itself — bit-identical
-    # across engines, so the ESTIMATE is oracle-checked, not just the
-    # exact count; every lang has >= 2.5m docs here, the raw-estimator
-    # validity regime)
+    # across engines, so the ESTIMATE is oracle-checked; every lang has
+    # >= 2.5m docs here, the raw-estimator validity regime).  Default
+    # registers-only form: no exact countDistinct rides along — at 10^12
+    # rows the exact branch would be the whole cost (VERDICT r5 #7)
     from learnhtml_spark.functions.dedup import hll_distinct
 
     return hll_distinct(_docs(spark, sf_dir), p=4, group="lang")
@@ -1163,15 +1164,12 @@ summ as (
          sum(power(0.5e0, r)) + (16 - count(*)) * 1.0e0 as ssum,
          cast(16 - count(*) as bigint) as n_zero_buckets
   from regs group by lang
-),
-exact as (
-  select lang, cast(count(distinct fp) as bigint) as n_exact
-  from hb group by lang
 )
-select e.lang, e.n_exact, s.n_zero_buckets,
-       round(0.673e0 * 256 / s.ssum, 6) as hll_estimate,
-       round((0.673e0 * 256 / s.ssum - e.n_exact) / e.n_exact, 6) as rel_error
-from exact e join summ s using (lang)
+-- registers-only (the operator's scale default): no exact count rides
+-- along — the sketch is the product (VERDICT r5 #7)
+select lang, n_zero_buckets,
+       round(0.673e0 * 256 / ssum, 6) as hll_estimate
+from summ
 """
 
 from learnhtml_spark.functions.textstats import PII_EMAIL, PII_IPV4, PII_PHONE

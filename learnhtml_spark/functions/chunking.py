@@ -136,11 +136,15 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     combined), one equi-join token→idf (AQE-sized; the df table is
     vocabulary-sized, typically broadcastable), and a per-doc rank window
     over the high-cardinality doc_id — scale-safe, no whole-corpus
-    window.  N (corpus row count) is frozen into the plan at build time,
-    like the boundary literals of the two-phase rank."""
+    window.  N (corpus row count) rides along as a broadcast ONE-ROW
+    cross join (the ``unigram_lm`` pattern) instead of an eager
+    ``docs.count()`` at plan-build time — one full corpus scan fewer per
+    invocation, and the plan stays fully declarative (VERDICT r5 #6)."""
     from pyspark.sql import Window
 
-    n_corpus = docs.count()
+    n_corpus = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_corpus")
+    )
     tf = (
         docs.select(
             "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
@@ -152,13 +156,18 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     df_tbl = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = tf.join(df_tbl, "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        (
-            F.col("tf") * (F.lit(float(n_corpus + 1)) / (F.col("df") + 1))
-        ).alias("_score"),
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * ((F.col("_n_corpus") + 1.0) / (F.col("df") + 1))
+            ).alias("_score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("_score"), F.asc("token")

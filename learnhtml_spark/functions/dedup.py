@@ -79,10 +79,16 @@ _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 _HLL_R_MAX = 40
 
 
-def hll_distinct(docs: DataFrame, p: int = 6, group: str = "source") -> DataFrame:
-    """(group, n_exact, n_zero_buckets, hll_estimate, rel_error):
-    per-group HyperLogLog distinct-fingerprint estimate next to the
-    exact count — the sketch ``dup_rate_by_source`` documents as its
+def hll_distinct(
+    docs: DataFrame,
+    p: int = 6,
+    group: str = "source",
+    include_exact: bool = False,
+) -> DataFrame:
+    """(group, n_zero_buckets, hll_estimate) — or, with
+    ``include_exact=True``, (group, n_exact, n_zero_buckets,
+    hll_estimate, rel_error): per-group HyperLogLog distinct-fingerprint
+    estimate — the sketch ``dup_rate_by_source`` documents as its
     10^12-row form, here as a first-class DETERMINISTIC operator: the
     registers derive from the md5 fingerprint itself (bucket = low ``p``
     bits, rank = leading-zero count of the remaining 52-p bits + 1), so
@@ -104,10 +110,12 @@ def hll_distinct(docs: DataFrame, p: int = 6, group: str = "source") -> DataFram
     division of identical operands.
 
     Scale: two map-side-combined hash aggregates — (group, bucket) then
-    (group) — over at most m rows per group; the exact ``countDistinct``
-    rides along for the report (drop it at 10^12 rows and keep only the
-    sketch, which is the point).  Zero joins beyond one broadcast-sized
-    per-group merge."""
+    (group) — over at most m rows per group; zero joins.  The DEFAULT is
+    registers-only: the sketch IS the product, and at 10^12 rows an
+    exact ``countDistinct`` riding along would dominate the cost
+    (VERDICT r5 #7).  ``include_exact=True`` opts into the n_exact +
+    rel_error report columns (small-scale validation / accuracy
+    studies), adding the distinct aggregate and one group-keyed join."""
     if p not in (4, 5, 6):
         raise ValueError("hll_distinct: p must be 4, 5 or 6 (52-bit md5 hash budget)")
     m = 1 << p
@@ -142,10 +150,16 @@ def hll_distinct(docs: DataFrame, p: int = 6, group: str = "source") -> DataFram
         ).alias("ssum"),
         (F.lit(m) - F.count("*")).cast("long").alias("n_zero_buckets"),
     )
+    est = F.lit(alpha) * F.lit(float(m * m)) / F.col("ssum")
+    if not include_exact:
+        return summ.select(
+            group,
+            "n_zero_buckets",
+            F.round(est, 6).alias("hll_estimate"),
+        )
     exact = hb.groupBy(group).agg(
         F.countDistinct("fp").cast("long").alias("n_exact")
     )
-    est = F.lit(alpha) * F.lit(float(m * m)) / F.col("ssum")
     return exact.join(summ, group).select(
         group,
         "n_exact",

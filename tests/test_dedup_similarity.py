@@ -1021,7 +1021,15 @@ def test_hll_distinct_matches_python_reference(spark):
         # include exact dups (same text -> same fp) to split exact vs raw
         rows.append((i, f"document number {i // 3} about {lang} topics", lang))
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    out = {r["lang"]: r for r in hll_distinct(df, p=4, group="lang").collect()}
+    # include_exact opts into the n_exact/rel_error report columns; the
+    # registers-only default must not plan a countDistinct at all
+    sketch_only = hll_distinct(df, p=4, group="lang")
+    assert set(sketch_only.columns) == {"lang", "n_zero_buckets",
+                                        "hll_estimate"}
+    plan = sketch_only._jdf.queryExecution().optimizedPlan().toString()
+    assert "distinct" not in plan.lower()
+    out = {r["lang"]: r for r in
+           hll_distinct(df, p=4, group="lang", include_exact=True).collect()}
 
     regs = {}
     exact = {}
@@ -1243,8 +1251,8 @@ def test_hll_distinct_register_sum_exactness_large(spark):
 
     rows = [(i, f"wholly distinct text number {i}", "g") for i in range(1200)]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    a = hll_distinct(df, p=6).collect()[0]
-    b = hll_distinct(df.repartition(7), p=6).collect()[0]
+    a = hll_distinct(df, p=6, include_exact=True).collect()[0]
+    b = hll_distinct(df.repartition(7), p=6, include_exact=True).collect()[0]
     assert a["hll_estimate"] == b["hll_estimate"]
     assert a["n_exact"] == 1200
     # raw estimator in its validity regime (>= 2.5m = 160 distincts):
