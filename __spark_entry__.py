@@ -721,8 +721,9 @@ def q_quantile_filter(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     # multimodal decode path on REAL bytes end-to-end: deterministic
-    # BMP/PCM-WAV payloads synthesized per doc (encoders are exact
-    # inverses of the pure-numpy decoders), then decode + thumbnail /
+    # BMP/PNG/PCM-WAV payloads synthesized per doc (encoders are exact
+    # inverses of the pure-numpy decoders; PNG runs the from-scratch
+    # inflate in operators/png.py), then decode + thumbnail /
     # RMS-envelope extraction inside mapInPandas.  Not SQL-expressible
     # (binary assembly + decode) -> rows-only driver check.
     from learnhtml_spark.operators.multimodal import (

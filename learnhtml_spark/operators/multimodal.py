@@ -7,13 +7,17 @@ transforms over ``mapInPandas``.
 
 Round 3: formats whose containers are plain structs are decoded FOR REAL
 in pure numpy — BMP (uncompressed 24/32-bit), PPM/PGM (binary P6/P5) and
-WAV (PCM 8/16-bit) need no codec library.  Compressed codecs (JPEG, PNG,
-MP3, MP4...) genuinely require libraries absent from this environment, so
-they keep the documented stub seam: ``decode_media`` raises
-NotImplementedError for them unless ``deterministic_fake=True`` (seeded
-fake, stable shape/bytes) — the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is identical either way, and swapping in
-Pillow/ffmpeg is a one-function change.
+WAV (PCM 8/16-bit) need no codec library.  Round 6: PNG is decoded for
+real too — ``operators.png`` implements DEFLATE (stored, fixed- and
+dynamic-Huffman), the zlib/adler32 wrapper, CRC32 and scanline
+unfiltering from scratch (tested against stdlib zlib as an oracle).
+The remaining compressed codecs (JPEG, MP3, MP4...) genuinely require
+libraries absent from this environment, so they keep the documented
+stub seam: ``decode_media`` raises NotImplementedError for them unless
+``deterministic_fake=True`` (seeded fake, stable shape/bytes) — the
+Spark-side plumbing (schema, batching, partitioning, UDF signature) is
+identical either way, and swapping in Pillow/ffmpeg is a one-function
+change.
 
 Feature semantics per media kind:
 - image: width/height in pixels, n_frames=1, thumbnail = 8x8 nearest-
@@ -184,6 +188,8 @@ def _sniff(payload: bytes) -> str | None:
         return "bmp"
     if payload[:2] in (b"P6", b"P5"):
         return "ppm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -193,12 +199,20 @@ def decode_media(
     ref: str, payload: bytes | None, deterministic_fake: bool = False
 ):
     """Decode a media payload into (width, height, n_frames, decoder,
-    thumbnail).  Codec-free container formats (BMP, PPM/PGM, PCM WAV) are
-    decoded for real; everything else hits the stub seam — raises unless
+    thumbnail).  Codec-free container formats (BMP, PPM/PGM, PCM WAV) and
+    PNG (from-scratch inflate, ``operators.png``) are decoded for real;
+    everything else hits the stub seam — raises unless
     ``deterministic_fake`` (production plugs Pillow/ffmpeg there)."""
     kind = _sniff(payload) if payload is not None else None
-    if kind == "bmp" or kind == "ppm":
-        px = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
+    if kind in ("bmp", "ppm", "png"):
+        if kind == "bmp":
+            px = decode_bmp(payload)
+        elif kind == "ppm":
+            px = decode_ppm(payload)
+        else:
+            from learnhtml_spark.operators.png import decode_png
+
+            px = decode_png(payload)
         return (
             int(px.shape[1]),
             int(px.shape[0]),
@@ -217,9 +231,9 @@ def decode_media(
         )
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not a codec-free format (BMP/PPM/PCM-WAV); decoding "
-            "it requires codec libraries not present in this environment — "
-            "pass deterministic_fake=True for plumbing tests"
+            "payload is not a natively-decoded format (BMP/PPM/PCM-WAV/PNG);"
+            " decoding it requires codec libraries not present in this "
+            "environment — pass deterministic_fake=True for plumbing tests"
         )
     h = hashlib.md5((ref or "").encode()).digest()
     width = 64 + h[0] * 4
@@ -330,20 +344,27 @@ def encode_wav16(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 def synth_payload_for(doc_id: str, kind: str) -> bytes:
     """Deterministic media payload seeded from md5(doc_id) — an 8×8 RGB
-    BMP gradient or a 400-sample mono sine WAV.  Byte-stable stand-in for
-    the object-store range-read a production media_ref resolves to."""
+    BMP gradient, an 8×8 RGB PNG (stored-block zlib stream), or a
+    400-sample mono sine WAV.  Byte-stable stand-in for the object-store
+    range-read a production media_ref resolves to."""
     h = hashlib.md5(f"{doc_id}:{kind}".encode()).digest()
-    if kind == "image":
+    if kind in ("image", "png"):
         base = np.frombuffer((h * 12)[: 8 * 8 * 3], dtype=np.uint8)
-        return encode_bmp24(base.reshape(8, 8, 3))
+        px = base.reshape(8, 8, 3)
+        if kind == "png":
+            from learnhtml_spark.operators.png import encode_png
+
+            return encode_png(px)
+        return encode_bmp24(px)
     freq = 2.0 + (h[0] % 16)
     t = np.arange(400, dtype=np.float64)
     return encode_wav16(0.5 * np.sin(2 * np.pi * freq * t / 400.0), rate=8000)
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """(doc_id, media_ref, payload): two deterministic payload rows per
-    document (one BMP image, one PCM-WAV audio) — NARROW generation, no
+    """(doc_id, media_ref, payload): three deterministic payload rows per
+    document (one BMP image, one PNG image — exercising the from-scratch
+    inflate path — and one PCM-WAV audio) — NARROW generation, no
     shuffle; feeds ``media_features`` with real decodable bytes."""
     schema = "doc_id string, media_ref string, payload binary"
 
@@ -354,6 +375,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 d = str(doc_id)
                 rows.append(
                     (d, f"media://img/{d}.bmp", synth_payload_for(d, "image"))
+                )
+                rows.append(
+                    (d, f"media://img/{d}.png", synth_payload_for(d, "png"))
                 )
                 rows.append(
                     (d, f"media://aud/{d}.wav", synth_payload_for(d, "audio"))

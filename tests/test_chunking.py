@@ -109,10 +109,13 @@ def test_media_features_on_synthesized_payloads(spark):
             synthesize_media(docs), deterministic_fake=False
         ).collect()
     }
-    assert len(out) == 4  # one image + one audio per doc
+    assert len(out) == 6  # one BMP + one PNG + one audio per doc
     img = out["media://img/d1.bmp"]
     assert (img["decoder"], img["width"], img["height"]) == ("bmp", 8, 8)
     assert len(img["thumbnail"]) == 64
+    png = out["media://img/d1.png"]
+    assert (png["decoder"], png["width"], png["height"]) == ("png", 8, 8)
+    assert len(png["thumbnail"]) == 64 and png["error"] is None
     aud = out["media://aud/d1.wav"]
     assert (aud["decoder"], aud["width"], aud["n_frames"]) == ("wav", 8000, 400)
     assert len(aud["thumbnail"]) == 32
