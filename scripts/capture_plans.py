@@ -17,10 +17,10 @@ NOTES = {
     "minhash_lsh": "sig agg (1 shuffle, 16 mins in one groupBy) + band-group cap window + band self-join + distinct",
     "neardup_pipe": "LSH candidates -> Jaccard verify over candidate pairs only; size joins AQE-sided (no forced per-doc broadcast)",
     "neardup_groups": "keeper-edge scale-default: band rows -> group-min agg -> join back on same key -> per-doc min; O(m) per band group",
-    "dup_clusters": "iterative min-label propagation (plan shown is the CONVERGED labels read off localCheckpoint blocks; each round was one shuffle join + min agg)",
+    "dup_clusters": "alternating large-star/small-star contraction, O(log d) rounds (plan shown is the CONVERGED star-labels read off localCheckpoint blocks; each round was 2 aggs + 2 joins over the shrinking edge list)",
     "gopher_quality": "narrow repetition/length exprs + two hash aggs for top word + one pk join",
     "simhash_neardup": "Manku-table: one sig aggregate -> capped block equi-join -> popcount verify (AQE-sided sig joins)",
-    "tfidf_topk": "tf agg -> df agg -> token join (vocab-sized, AQE) -> doc_id rank window",
+    "tfidf_topk": "tf agg -> df agg -> token join (vocab-sized, AQE) -> doc_id rank window; N = broadcast one-row count in-plan (no eager docs.count())",
     "pack_sequences": "md5 bucket -> two-phase distributed cumsum (literal-boundary chunks + broadcast offsets) -> integer bin math",
     "simhash": "SINGLE hash-aggregate: 16 vote sums in one groupBy, no bit explode",
     "ann_topk": "bucket inline (mapInPandas) -> ONE shuffle (groupBy bucket) -> numpy gram + top-k per bucket (applyInPandas)",
@@ -51,7 +51,7 @@ NOTES = {
     "fuzzy_decontaminate": "broadcast per-eval-doc gram set; corpus exploded ONCE (n_grams is the narrow array-size expr, no second shingle pass) -> (doc, eval) overlap agg -> per-doc struct-min",
     "incremental_dedup": "snapshot-over-snapshot: corpus bands -> per-signature min aggregate (ONE probe row per sig, skew-immune) -> new-side band join -> per-doc min + unique restore join",
     "cluster_size_hist": "two hash aggregates over dup_clusters' converged labels (second agg keys on the tiny distinct-size domain — aggregate, never window)",
-    "hll_distinct": "deterministic HLL sketch: two map-side-combined hash aggs — (group, bucket) register max then per-group register sum (order-exact doubles); exact countDistinct rides along for the report (drop it at 10^12 rows — the sketch is the point)",
+    "hll_distinct": "deterministic HLL sketch: two map-side-combined hash aggs — (group, bucket) register max then per-group register sum (order-exact doubles); registers-only by default (exact countDistinct is an include_exact=True opt-in)",
     "mixture_sample": "data-mixing sampler: broadcast rates allowlist join -> shared deterministic hash order -> skew-safe two-phase rank -> per-stratum integer-ratio bound",
     "cluster_keepers": "converged cluster labels -> pk join with quality column (AQE-sided) -> ONE min(struct(-q, id)) argmax aggregate per cluster -> keeper join back on cluster_id",
     "pii_scrub": "pure narrow plan (JVM regexp redaction passes, map-only, zero shuffles)",
