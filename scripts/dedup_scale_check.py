@@ -120,7 +120,7 @@ def main():
         rN = out["points"][f"{name}_10x"]["docs_per_sec"]
         out[f"{name}_throughput_ratio_10x_vs_1x"] = round(rN / r1, 3)
     print(json.dumps(out, indent=1))
-    with open("artifacts_dedup_scale_r5.json", "w") as f:
+    with open(os.environ.get("DEDUP_SCALE_ARTIFACT", "artifacts_dedup_scale_r6.json"), "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
 
