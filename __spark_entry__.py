@@ -82,6 +82,19 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def q_heuristic_spans(spark, sf_dir):
+    # model-free DOM-heuristic extraction (jusText/boilerpipe-style
+    # density rules) — the "DOM heuristics" leg of the north rule's
+    # extraction triad; zero exchanges, no broadcast.  Oracle =
+    # golden-join against a sequential single-process run of the SAME
+    # kernel (distributed == sequential attestation, the
+    # node_features/label_ratios pattern).
+    from learnhtml_spark.corpus import synthesize_docs
+    from learnhtml_spark.operators.heuristic import heuristic_extract_spans
+
+    return heuristic_extract_spans(synthesize_docs(_docs_balanced(spark, sf_dir)))
+
+
 def q_node_features(spark, sf_dir):
     from learnhtml_spark.corpus import synthesize_docs
     from learnhtml_spark.operators.extract import extract_node_features
@@ -735,6 +748,26 @@ def q_media_features(spark, sf_dir):
     return media_features(synthesize_media(docs), deterministic_fake=False)
 
 
+def q_pdf_spans(spark, sf_dir):
+    # the "PDF/layout parse" leg of the north rule's extraction triad on
+    # REAL bytes end-to-end: a deterministic 2-page Flate-compressed PDF is
+    # built per document (operators/pdf.py:build_pdf, streams compressed by
+    # the repo's own stored-block zlib encoder), then parsed back through
+    # the from-scratch inflate + content-stream interpreter into ordered
+    # interleaved (kind, text, media_ref, offset, x, y) spans.  Fully
+    # narrow: synthesize -> extract is map-only, zero exchanges.  Unlike
+    # media_features this DOES have a full value oracle: the synthetic
+    # content is a pure function of md5(doc_id || ':pdf'), so DuckDB can
+    # state the expected spans while Spark exercises the real
+    # build -> compress -> inflate -> parse pipeline.
+    from learnhtml_spark.operators.pdf import pdf_spans, synthesize_pdfs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return pdf_spans(synthesize_pdfs(docs))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -985,6 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are always inserted at the top (never attested). See README "Driver
     # correctness rotation".
     return {
+        # -- never driver-attested (new this round)
+        "pdf_spans": q_pdf_spans,
+        "heuristic_spans": q_heuristic_spans,
         # -- never driver-attested (new in r5, registered after the cutoff)
         #    or red last round (pack_sequences: oracle-typing fix this round)
         "asof_events": q_asof_events,
@@ -2386,12 +2422,22 @@ _LABEL_RATIOS_SQL = (
     + "join gd using (row_key)"
 )
 
+# heuristic_spans: sequential single-process run of the SAME kernel
+# (operators/heuristic.py:extract_spans_heuristic_doc) — attests the
+# distributed mapInPandas execution is value-identical.
+_HEURISTIC_SPANS_SQL = (
+    "with " + _ROWKEY_CTE
+    + f"select g.* exclude (row_key) from read_parquet('{_GOLDENS}/heuristic.parquet') g "
+    + "join gd using (row_key)"
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _EXTRACT_SPANS_SQL,
         "node_features": _NODE_FEATURES_SQL,
         "label_ratios": _LABEL_RATIOS_SQL,
+        "heuristic_spans": _HEURISTIC_SPANS_SQL,
         "token_stats": _STATS_SQL,
         "token_bpe": (
             "with t as (select doc_id, case when length(trim(text)) = 0 "
@@ -2518,6 +2564,26 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "quantile_filter": _QUANTILE_FILTER_SQL,
+        # pdf_spans: Spark runs the real build -> Flate-compress ->
+        # inflate -> parse pipeline; the oracle states the expected spans
+        # directly since the synthetic content is a pure function of
+        # md5(doc_id || ':pdf') (operators/pdf.py:synth_pdf_for).
+        "pdf_spans": (
+            "with d as (select cast(doc_id as varchar) as doc_id, "
+            "md5(cast(doc_id as varchar) || ':pdf') as h from documents) "
+            "select doc_id, "
+            "unnest([0, 0, 0, 1]) as page, "
+            'unnest([0, 1, 2, 3]) as "offset", '
+            "unnest(['text', 'image', 'text', 'text']) as kind, "
+            "unnest(['Document ' || doc_id || ' title ' || substr(h, 1, 8), "
+            "NULL, "
+            "'Body paragraph ' || substr(h, 9, 8) || ' of ' || doc_id || '.', "
+            "'Second page ' || substr(h, 17, 8)]) as text, "
+            "unnest([NULL, 'Img0', NULL, NULL]) as media_ref, "
+            "unnest([72e0, 72e0, 72e0, 72e0]) as x, "
+            "unnest([720e0, 706e0, 600e0, 720e0]) as y, "
+            "cast(NULL as varchar) as error from d"
+        ),
         # media_features: binary synthesis + decode is not SQL-expressible;
         # rows-only driver check (encoders/decoders are inverse-tested in
         # tests/test_tables_streaming.py)

@@ -780,6 +780,13 @@ def parse_html(
     def flush_text():
         if pending_text:
             t = "".join(pending_text)
+            # a run containing ANY non-blank RAW char ends the prolog
+            # blank skip — even when that char is an invalid control char
+            # that gets dropped before emission ('\x1f<? >' keeps ' >',
+            # '\x1f<!-- --> x' keeps ' x', while '  <? >x' still skips to
+            # '>x'; probed libxml2).  The flag is applied AFTER this run's
+            # own lstrip decision, which uses the state at run start.
+            raw_nonblank = any(c not in " \t\n\r" for c in t)
             if not b.left_prolog and b.root is None and not b.stack:
                 # prolog blank-skipping applies to the RAW stream only: an
                 # invalid char (later dropped) already ends the skipping
@@ -827,6 +834,8 @@ def parse_html(
                     # prolog blank skip ('&# 0' keeps the space where
                     # '<!--c--> 0' does not; probed libxml2)
                     b.left_prolog = True
+            if raw_nonblank:
+                b.left_prolog = True
             pending_text.clear()
 
     def in_prolog():

@@ -1,0 +1,334 @@
+"""WARC crawl-archive source — web-scale ingestion for the extraction
+pipeline.  CommonCrawl-style corpora (the realistic 100 TB input for a
+web content extractor) ship as WARC/1.0 files, usually gzipped with one
+gzip member per record; this module reads both ``.warc`` and ``.warc.gz``
+into record rows and adapts HTTP response records onto the engine's
+``(doc_id, spans)`` interleaved document table so the whole extraction
+surface (classifier, heuristic, dedup, quality) runs directly on crawl
+archives.
+
+Reference parity note: the reference repo ingests pre-converted
+dragnet/cleaneval CSVs (learnhtml/dataset_conversion/conversion.py,
+cli/script.py:46); it has no crawl-archive reader.  This source is
+beyond-reference surface required by the north rule's web-scale framing.
+
+Distribution model (the CommonCrawl convention): one WARC file is one
+task — ``spark.read.format("binaryFile")`` fans the file listing across
+executors and each ~1 GB archive parses independently; there is no
+intra-file split because gzip members and Content-Length-delimited
+records cannot be seeked into safely.  At 100 TB that is ~100k files →
+~100k well-sized tasks, no shuffle anywhere in the read path.  Parsing
+is recovery-oriented (damaged record → scan to the next ``WARC/`` magic;
+truncated tail → one auditable error row, the media_features contract).
+
+Record framing (ISO 28500 / WARC 1.0): ``WARC/1.0 CRLF headers CRLF CRLF
+block`` where ``Content-Length`` is authoritative for the block (the
+block is binary and may itself contain ``WARC/`` literals — never
+delimiter-scan inside it), followed by two CRLFs.  ``.warc.gz`` files
+are multi-member gzip streams (one member per record); stdlib
+``gzip.decompress`` concatenates members per RFC 1952.
+
+Synthesis (test/bench scaffolding only — production reads existing
+archives): ``synthesize_warc_dir`` writes a deterministic archive set
+for a scale-factor directory, every byte a pure function of the
+documents table's doc_ids, so the driver oracle can state the expected
+rows in SQL without reading any file.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CRLF = b"\r\n"
+
+# ---------------------------------------------------------------------------
+# WARC record writer (deterministic synthesis scaffolding)
+# ---------------------------------------------------------------------------
+
+
+def build_record(warc_type: str, headers: dict[str, str], block: bytes) -> bytes:
+    head = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode("latin-1")]
+    for k, v in headers.items():
+        head.append(k.encode("latin-1") + b": " + v.encode("latin-1"))
+    head.append(b"Content-Length: %d" % len(block))
+    return CRLF.join(head) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def http_response(status: int, reason: str, content_type: str, body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 %d %s\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+        % (status, reason.encode("latin-1"), content_type.encode("latin-1"), len(body))
+        + body
+    )
+
+
+def synth_url(doc_id: str) -> str:
+    return f"https://corpus.example/{doc_id}"
+
+
+def synth_response_for(doc_id: str) -> tuple[int, bytes]:
+    """(status, html body) as a pure function of md5(doc_id || ':warc') —
+    the exact construction the driver oracle re-states in SQL.  Docs whose
+    hash starts with 'f' become 404s so status filtering is exercised."""
+    h = hashlib.md5(f"{doc_id}:warc".encode()).hexdigest()
+    if h[0] == "f":
+        body = (
+            f"<html><body><h1>404 Not Found</h1><p>{h[12:24]}</p></body></html>"
+        )
+        return 404, body.encode("ascii")
+    body = (
+        f"<html><head><title>Doc {doc_id}</title></head>"
+        f"<body><p>Paragraph {h[:12]} for {doc_id}.</p></body></html>"
+    )
+    return 200, body.encode("ascii")
+
+
+def build_warc(doc_ids: list[str], gz: bool) -> bytes:
+    """One archive: a warcinfo record, then per doc a request record (the
+    reader must skip non-response types) and the response record.  Every
+    byte deterministic (fixed WARC-Date, gzip mtime=0)."""
+    records = [
+        build_record(
+            "warcinfo",
+            {"WARC-Date": "2026-01-01T00:00:00Z"},
+            b"software: learnhtml-spark-synth\r\n",
+        )
+    ]
+    for doc_id in doc_ids:
+        url = synth_url(doc_id)
+        records.append(
+            build_record(
+                "request",
+                {
+                    "WARC-Target-URI": url,
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "Content-Type": "application/http; msgtype=request",
+                },
+                b"GET / HTTP/1.1\r\nHost: corpus.example\r\n\r\n",
+            )
+        )
+        status, body = synth_response_for(doc_id)
+        records.append(
+            build_record(
+                "response",
+                {
+                    "WARC-Target-URI": url,
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                http_response(
+                    status,
+                    "OK" if status == 200 else "Not Found",
+                    "text/html; charset=utf-8",
+                    body,
+                ),
+            )
+        )
+    if gz:  # one gzip member per record — the CommonCrawl layout
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def synthesize_warc_dir(sf_dir: str, docs_per_file: int = 100) -> str:
+    """Materialize the deterministic archive set for a scale-factor dir
+    under /tmp (write-once, marker-guarded).  Alternating files are
+    plain ``.warc`` and multi-member ``.warc.gz``."""
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = sorted(str(d) for d in docs["doc_id"])
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + f":{len(ids)}:{docs_per_file}").encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp", "learnhtml_warc", key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for fno, lo in enumerate(range(0, len(ids), docs_per_file)):
+        chunk = ids[lo: lo + docs_per_file]
+        gz = fno % 2 == 1
+        name = f"part-{fno:05d}.warc" + (".gz" if gz else "")
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(build_warc(chunk, gz))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WARC parsing (recovery-oriented, Content-Length-authoritative)
+# ---------------------------------------------------------------------------
+
+
+def parse_warc(data: bytes) -> list[tuple[dict, bytes, str | None]]:
+    """bytes -> [(headers lowercased, block, error)] — one tuple per
+    record; a truncated tail yields a final tuple with error set."""
+    out: list[tuple[dict, bytes, str | None]] = []
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"WARC/", i)
+        if j < 0:
+            break
+        he = data.find(CRLF + CRLF, j)
+        if he < 0:
+            out.append(({}, b"", "truncated WARC header"))
+            break
+        head = data[j:he].decode("latin-1")
+        hdrs: dict[str, str] = {}
+        for line in head.split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                hdrs[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        block = data[he + 4: he + 4 + clen]
+        if len(block) < clen:
+            out.append((hdrs, block, "truncated WARC block"))
+            break
+        out.append((hdrs, block, None))
+        i = he + 4 + clen  # the inter-record CRLFs are skipped by the
+        # next WARC/ scan — tolerating both strict and sloppy writers
+    return out
+
+
+def parse_http_response(block: bytes) -> tuple[int, str, bytes]:
+    """(status, content_type, body) from an application/http block."""
+    sep = block.find(CRLF + CRLF)
+    if sep < 0:
+        raise ValueError("no HTTP header/body separator")
+    head = block[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split()
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError("not an HTTP response block")
+    status = int(parts[1])
+    ctype = ""
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            if k.strip().lower() == "content-type":
+                ctype = v.strip()
+    return status, ctype, block[sep + 4:]
+
+
+WARC_RECORDS = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("record_index", IntegerType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("body", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def read_warc_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """Archive directory -> record rows.  One task per file (binaryFile
+    listing fan-out), fully narrow; .warc.gz members are concatenated by
+    stdlib gzip (RFC 1952 multi-member).  HTTP response records carry
+    (http_status, content_type, body); other record types keep body=NULL
+    and rows with error set are auditable, never task failures."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(directory)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORDS.fields]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    if path.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    records = parse_warc(data)
+                except Exception as exc:  # archive-level poison
+                    rows.append(
+                        (path, -1, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:500])
+                    )
+                    continue
+                for idx, (hdrs, block, err) in enumerate(records):
+                    wtype = hdrs.get("warc-type")
+                    uri = hdrs.get("warc-target-uri")
+                    if err is not None:
+                        rows.append((path, idx, wtype, uri, None, None, None, err))
+                        continue
+                    if wtype == "response":
+                        try:
+                            status, ctype, body = parse_http_response(block)
+                            rows.append(
+                                (path, idx, wtype, uri, status, ctype, body, None)
+                            )
+                        except Exception as exc:
+                            rows.append(
+                                (path, idx, wtype, uri, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:500])
+                            )
+                    else:
+                        rows.append((path, idx, wtype, uri, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(run, schema=WARC_RECORDS)
+
+
+def warc_response_docs(records: DataFrame) -> DataFrame:
+    """Response records -> one row per fetched page with JVM-side digest
+    columns (url, status, content_type, n_bytes, body_md5) — the shape the
+    driver oracle states in SQL.  Pure narrow projection."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response") & F.col("error").isNull()
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("http_status").alias("status"),
+            F.col("content_type"),
+            F.length("body").alias("n_bytes"),
+            F.md5("body").alias("body_md5"),
+        )
+    )
+
+
+def warc_docs_table(records: DataFrame) -> DataFrame:
+    """Adapter onto the engine's document model: 200-responses become
+    (doc_id=url, spans=[single html span]) so every downstream operator
+    (classifier/heuristic extraction, dedup, quality) runs unchanged on
+    crawl archives.  Narrow; bodies decode as UTF-8 JVM-side."""
+    span = F.struct(
+        F.lit("html").alias("kind"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("error").isNull()
+            & (F.col("http_status") == 200)
+        )
+        .select(F.col("target_uri").alias("doc_id"), F.array(span).alias("spans"))
+    )

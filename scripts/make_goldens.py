@@ -62,7 +62,10 @@ def main() -> None:
 
     feat_names = node_features_schema(DEPTH, HEIGHT).fieldNames()
 
+    from learnhtml_spark.operators.heuristic import extract_spans_heuristic_doc
+
     span_rows: list[tuple] = []
+    heuristic_rows: list[tuple] = []
     feat_frames: list[pd.DataFrame] = []
     label_rows: list[tuple] = []
     seen: set[str] = set()
@@ -91,6 +94,12 @@ def main() -> None:
             ]
             for r in assemble_output(doc_id, content, boundaries, media_spans(spans)):
                 span_rows.append((key,) + tuple(r))
+
+            # 1b. heuristic_spans reference run (sequential execution of
+            # the exact kernel the Spark operator calls; the oracle
+            # attests distributed == sequential)
+            for r in extract_spans_heuristic_doc(doc_id, spans):
+                heuristic_rows.append((key,) + tuple(r))
 
             # 2. node_features reference run (same kernel, sequential)
             f = extract_features_from_tree(root, DEPTH, HEIGHT)
@@ -121,6 +130,13 @@ def main() -> None:
     )
     spans_df["offset"] = spans_df["offset"].astype(np.int32)
     spans_df.to_parquet(os.path.join(OUT_DIR, "spans.parquet"), index=False)
+
+    heur_df = pd.DataFrame(
+        heuristic_rows,
+        columns=["row_key", "doc_id", "kind", "text", "media_ref", "offset"],
+    )
+    heur_df["offset"] = heur_df["offset"].astype(np.int32)
+    heur_df.to_parquet(os.path.join(OUT_DIR, "heuristic.parquet"), index=False)
 
     feats_df = pd.concat(feat_frames, ignore_index=True)
     feats_df.to_parquet(os.path.join(OUT_DIR, "features.parquet"), index=False)

@@ -242,6 +242,9 @@ def test_fuzz_comments_doctype(doc):
 @example(doc='<?ʩ').via('XML 1.0 BaseChar table, not modern isalpha')
 @example(doc='<?:?>').via("':' and '_' start a PI target")
 @example(doc='</p> <?a').via('preceding run flushes before the orphan target')
+@example(doc='\x1f<? >').via(
+    'dropped invalid char still ends the prolog blank skip across a flush'
+)
 def test_fuzz_pis(doc):
     assert treediff.compare(doc) == [], doc
 
