@@ -748,6 +748,24 @@ def q_media_features(spark, sf_dir):
     return media_features(synthesize_media(docs), deterministic_fake=False)
 
 
+def q_warc_docs(spark, sf_dir):
+    # WARC crawl-archive ingestion (sources/warc_source.py): a
+    # deterministic archive set (plain + gzip-member .warc.gz files, every
+    # byte a pure function of the documents table's doc_ids) is parsed by
+    # the distributed reader — one task per archive, fully narrow — into
+    # per-page rows with JVM-side digests.  The oracle re-states the
+    # expected rows in SQL without reading any archive, so a green row
+    # attests the whole framing/gzip/HTTP decode path bit-for-bit.
+    from learnhtml_spark.sources.warc_source import (
+        read_warc_dir,
+        synthesize_warc_dir,
+        warc_response_docs,
+    )
+
+    out = synthesize_warc_dir(sf_dir)
+    return warc_response_docs(read_warc_dir(spark, out))
+
+
 def q_pdf_spans(spark, sf_dir):
     # the "PDF/layout parse" leg of the north rule's extraction triad on
     # REAL bytes end-to-end: a deterministic 2-page Flate-compressed PDF is
@@ -1021,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-attested (new this round)
         "pdf_spans": q_pdf_spans,
         "heuristic_spans": q_heuristic_spans,
+        "warc_docs": q_warc_docs,
         # -- never driver-attested (new in r5, registered after the cutoff)
         #    or red last round (pack_sequences: oracle-typing fix this round)
         "asof_events": q_asof_events,
@@ -2564,6 +2583,25 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "quantile_filter": _QUANTILE_FILTER_SQL,
+        # warc_docs: Spark parses the real archives (framing, gzip members,
+        # HTTP blocks); the oracle re-derives every column from doc_id alone
+        # (sources/warc_source.py:synth_response_for).
+        "warc_docs": (
+            "with d as (select cast(doc_id as varchar) as doc_id, "
+            "md5(cast(doc_id as varchar) || ':warc') as h from documents), "
+            "b as (select doc_id, "
+            "case when substr(h,1,1)='f' then 404 else 200 end as status, "
+            "case when substr(h,1,1)='f' "
+            "then '<html><body><h1>404 Not Found</h1><p>' || substr(h,13,12) "
+            "|| '</p></body></html>' "
+            "else '<html><head><title>Doc ' || doc_id || '</title></head>"
+            "<body><p>Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
+            "|| '.</p></body></html>' end as body from d) "
+            "select 'https://corpus.example/' || doc_id as url, status, "
+            "'text/html; charset=utf-8' as content_type, "
+            "cast(octet_length(encode(body)) as int) as n_bytes, "
+            "md5(body) as body_md5 from b"
+        ),
         # pdf_spans: Spark runs the real build -> Flate-compress ->
         # inflate -> parse pipeline; the oracle states the expected spans
         # directly since the synthetic content is a pure function of

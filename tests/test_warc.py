@@ -1,0 +1,123 @@
+"""WARC source: framing round-trips, Content-Length authority, recovery
+on truncation, gzip-member archives, and the Spark read path feeding the
+extraction document model."""
+
+import gzip
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from learnhtml_spark.sources.warc_source import (
+    build_record,
+    build_warc,
+    http_response,
+    parse_http_response,
+    parse_warc,
+    read_warc_dir,
+    synth_response_for,
+    synth_url,
+    synthesize_warc_dir,
+    warc_docs_table,
+    warc_response_docs,
+)
+
+
+def test_roundtrip_plain_and_gz():
+    ids = ["a1", "b2", "c3"]
+    for gz in (False, True):
+        data = build_warc(ids, gz)
+        if gz:
+            data = gzip.decompress(data)
+        recs = parse_warc(data)
+        # warcinfo + (request, response) per doc
+        assert [h.get("warc-type") for h, _, _ in recs] == (
+            ["warcinfo"] + ["request", "response"] * 3
+        )
+        assert all(err is None for _, _, err in recs)
+        responses = [r for r in recs if r[0].get("warc-type") == "response"]
+        for (hdrs, block, _), doc_id in zip(responses, ids):
+            assert hdrs["warc-target-uri"] == synth_url(doc_id)
+            status, ctype, body = parse_http_response(block)
+            want_status, want_body = synth_response_for(doc_id)
+            assert (status, body) == (want_status, want_body)
+            assert ctype == "text/html; charset=utf-8"
+
+
+def test_content_length_authoritative():
+    # a body that CONTAINS WARC framing text must not split the record
+    evil = b"binary\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\npayload"
+    rec = build_record("response", {"WARC-Target-URI": "u"},
+                       http_response(200, "OK", "text/plain", evil))
+    recs = parse_warc(rec)
+    assert len(recs) == 1 and recs[0][2] is None
+    _, _, body = parse_http_response(recs[0][1])
+    assert body == evil
+
+
+def test_truncated_tail_is_error_row():
+    good = build_record("response", {"WARC-Target-URI": "u"},
+                        http_response(200, "OK", "text/plain", b"x" * 50))
+    truncated = good[: len(good) - 30]
+    recs = parse_warc(truncated)
+    assert recs[-1][2] == "truncated WARC block"
+    # header truncation too
+    recs = parse_warc(b"WARC/1.0\r\nWARC-Type: response")
+    assert recs[-1][2] == "truncated WARC header"
+
+
+def test_spark_read_matches_synth(spark, tmp_path):
+    out = synthesize_warc_dir("/root/testdata/sf0.001", docs_per_file=30)
+    recs = read_warc_dir(spark, out)
+    docs = warc_response_docs(recs).orderBy("url").collect()
+    import pandas as pd
+
+    ids = sorted(
+        str(d)
+        for d in pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )["doc_id"]
+    )
+    assert len(docs) == len(ids)
+    for row, doc_id in zip(docs, sorted(ids, key=synth_url)):
+        status, body = synth_response_for(doc_id)
+        assert row.url == synth_url(doc_id)
+        assert row.status == status
+        assert row.n_bytes == len(body)
+        assert row.body_md5 == hashlib.md5(body).hexdigest()
+    # non-response records are present but filtered
+    by_type = {
+        r["warc_type"]: r["count"]
+        for r in recs.groupBy("warc_type").count().collect()
+    }
+    assert by_type["request"] == len(ids)
+    assert by_type["warcinfo"] >= 2  # one per archive file
+
+
+def test_archive_poison_row(spark, tmp_path):
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "good.warc").write_bytes(build_warc(["ok1"], gz=False))
+    (d / "bad.warc.gz").write_bytes(b"\x1f\x8b\x08\x00garbage-not-gzip")
+    rows = read_warc_dir(spark, str(d)).collect()
+    errs = [r for r in rows if r.error is not None]
+    assert len(errs) == 1 and errs[0].path.endswith("bad.warc.gz")
+    assert errs[0].record_index == -1
+    oks = [r for r in rows if r.warc_type == "response"]
+    assert len(oks) == 1
+
+
+def test_docs_table_feeds_extraction(spark):
+    out = synthesize_warc_dir("/root/testdata/sf0.001", docs_per_file=30)
+    docs = warc_docs_table(read_warc_dir(spark, out))
+    from learnhtml_spark.operators.heuristic import heuristic_extract_spans
+
+    n200 = docs.count()
+    rows = heuristic_extract_spans(docs).collect()
+    # every body parses without a poison row (short pages may yield no
+    # kept spans under the density rules — that's the point)
+    assert not any(r.kind == "error" for r in rows)
+    assert n200 > 0
+    sample = docs.select("spans").first()["spans"]
+    assert sample[0]["kind"] == "html" and "<html>" in sample[0]["text"]
