@@ -766,6 +766,69 @@ def q_warc_docs(spark, sf_dir):
     return warc_response_docs(read_warc_dir(spark, out))
 
 
+def q_warc_extract(spark, sf_dir):
+    # end-to-end crawl extraction: WARC bytes -> gzip members -> HTTP
+    # decode -> document model -> parser -> blockifier -> density rules ->
+    # ordered span assembly, all in one narrow plan (binaryFile listing ->
+    # two chained mapInPandas, zero exchanges).  The synthetic page layout
+    # (sources/warc_source.py:synth_response_for) makes every heuristic
+    # verdict predictable — nav link farm dropped, heading kept only via
+    # neighbor smoothing, 18-token paragraph kept, footer dropped — so the
+    # oracle states the full extracted span sequence from doc_id alone.
+    from learnhtml_spark.operators.heuristic import heuristic_extract_spans
+    from learnhtml_spark.sources.warc_source import (
+        read_warc_dir,
+        synthesize_warc_dir,
+        warc_docs_table,
+    )
+
+    out = synthesize_warc_dir(sf_dir)
+    return heuristic_extract_spans(warc_docs_table(read_warc_dir(spark, out)))
+
+
+# Shared CTE prefix: re-derives every synthetic WARC page from doc_id alone
+# (mirrors sources/warc_source.py:synth_response_for byte-for-byte).
+_WARC_BODY_CTE = (
+    "with d as (select cast(doc_id as varchar) as doc_id, "
+    "md5(cast(doc_id as varchar) || ':warc') as h from documents), "
+    "b as (select doc_id, h, "
+    "case when substr(h,1,1)='f' then 404 else 200 end as status, "
+    "case when substr(h,1,1)='f' "
+    "then '<html><body><h1>404 Not Found</h1><p>' || substr(h,13,12) "
+    "|| '</p></body></html>' "
+    "else '<html><head><title>Doc ' || doc_id || '</title></head><body>' "
+    "|| '<ul class=\"nav\"><li><a href=\"/home\">Home</a></li>' "
+    "|| '<li><a href=\"/about\">About</a></li>' "
+    "|| '<li><a href=\"/contact\">Contact</a></li></ul>' "
+    "|| '<h1>Doc ' || doc_id || ' crawl report</h1>' "
+    "|| '<p>Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
+    "|| ' retains sixteen deterministic tokens covering corpus fetch parse "
+    "extract verify stages end to end.</p>' "
+    "|| '<p>Footer note.</p></body></html>' end as body from d) "
+)
+
+_WARC_DOCS_SQL = _WARC_BODY_CTE + (
+    "select 'https://corpus.example/' || doc_id as url, status, "
+    "'text/html; charset=utf-8' as content_type, "
+    "cast(octet_length(encode(body)) as int) as n_bytes, "
+    "md5(body) as body_md5 from b"
+)
+
+_WARC_EXTRACT_SQL = _WARC_BODY_CTE + (
+    ", k as (select doc_id, h from b where status = 200) "
+    "select 'https://corpus.example/' || doc_id as doc_id, "
+    "'text' as kind, 'Doc ' || doc_id || ' crawl report' as text, "
+    "cast(null as varchar) as media_ref, 0 as \"offset\" from k "
+    "union all "
+    "select 'https://corpus.example/' || doc_id as doc_id, "
+    "'text' as kind, "
+    "'Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
+    "|| ' retains sixteen deterministic tokens covering corpus fetch parse "
+    "extract verify stages end to end.' as text, "
+    "cast(null as varchar) as media_ref, 1 as \"offset\" from k"
+)
+
+
 def q_pdf_spans(spark, sf_dir):
     # the "PDF/layout parse" leg of the north rule's extraction triad on
     # REAL bytes end-to-end: a deterministic 2-page Flate-compressed PDF is
@@ -1040,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_spans": q_pdf_spans,
         "heuristic_spans": q_heuristic_spans,
         "warc_docs": q_warc_docs,
+        "warc_extract": q_warc_extract,
         # -- never driver-attested (new in r5, registered after the cutoff)
         #    or red last round (pack_sequences: oracle-typing fix this round)
         "asof_events": q_asof_events,
@@ -2583,25 +2647,13 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "quantile_filter": _QUANTILE_FILTER_SQL,
-        # warc_docs: Spark parses the real archives (framing, gzip members,
-        # HTTP blocks); the oracle re-derives every column from doc_id alone
+        # warc_docs / warc_extract: Spark parses the real archives (framing,
+        # gzip members, HTTP blocks) and, for warc_extract, runs the full
+        # parser -> blockifier -> density-rules extraction on the decoded
+        # bodies; both oracles re-derive every value from doc_id alone
         # (sources/warc_source.py:synth_response_for).
-        "warc_docs": (
-            "with d as (select cast(doc_id as varchar) as doc_id, "
-            "md5(cast(doc_id as varchar) || ':warc') as h from documents), "
-            "b as (select doc_id, "
-            "case when substr(h,1,1)='f' then 404 else 200 end as status, "
-            "case when substr(h,1,1)='f' "
-            "then '<html><body><h1>404 Not Found</h1><p>' || substr(h,13,12) "
-            "|| '</p></body></html>' "
-            "else '<html><head><title>Doc ' || doc_id || '</title></head>"
-            "<body><p>Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
-            "|| '.</p></body></html>' end as body from d) "
-            "select 'https://corpus.example/' || doc_id as url, status, "
-            "'text/html; charset=utf-8' as content_type, "
-            "cast(octet_length(encode(body)) as int) as n_bytes, "
-            "md5(body) as body_md5 from b"
-        ),
+        "warc_docs": _WARC_DOCS_SQL,
+        "warc_extract": _WARC_EXTRACT_SQL,
         # pdf_spans: Spark runs the real build -> Flate-compress ->
         # inflate -> parse pipeline; the oracle states the expected spans
         # directly since the synthetic content is a pure function of

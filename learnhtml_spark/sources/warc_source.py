@@ -55,6 +55,8 @@ from pyspark.sql.types import (
 
 CRLF = b"\r\n"
 
+_SYNTH_VERSION = 3  # bump when synth_response_for's construction changes
+
 # ---------------------------------------------------------------------------
 # WARC record writer (deterministic synthesis scaffolding)
 # ---------------------------------------------------------------------------
@@ -83,7 +85,15 @@ def synth_url(doc_id: str) -> str:
 def synth_response_for(doc_id: str) -> tuple[int, bytes]:
     """(status, html body) as a pure function of md5(doc_id || ':warc') —
     the exact construction the driver oracle re-states in SQL.  Docs whose
-    hash starts with 'f' become 404s so status filtering is exercised."""
+    hash starts with 'f' become 404s so status filtering is exercised.
+
+    The 200-page layout is adversarial-but-predictable for the heuristic
+    extractor (operators/heuristic.py): a nav link farm (link density 1.0
+    -> boilerplate), a 4-token heading (near-content, kept only via the
+    neighbor-smoothing rule), an 18-token content paragraph (core
+    content), and a 2-token footer (too short -> dropped) — so the
+    end-to-end driver query ``warc_extract`` can state the extracted span
+    sequence in SQL from doc_id alone."""
     h = hashlib.md5(f"{doc_id}:warc".encode()).hexdigest()
     if h[0] == "f":
         body = (
@@ -91,8 +101,14 @@ def synth_response_for(doc_id: str) -> tuple[int, bytes]:
         )
         return 404, body.encode("ascii")
     body = (
-        f"<html><head><title>Doc {doc_id}</title></head>"
-        f"<body><p>Paragraph {h[:12]} for {doc_id}.</p></body></html>"
+        f"<html><head><title>Doc {doc_id}</title></head><body>"
+        f'<ul class="nav"><li><a href="/home">Home</a></li>'
+        f'<li><a href="/about">About</a></li>'
+        f'<li><a href="/contact">Contact</a></li></ul>'
+        f"<h1>Doc {doc_id} crawl report</h1>"
+        f"<p>Paragraph {h[:12]} for {doc_id} retains sixteen deterministic "
+        f"tokens covering corpus fetch parse extract verify stages end to end.</p>"
+        f"<p>Footer note.</p></body></html>"
     )
     return 200, body.encode("ascii")
 
@@ -151,8 +167,11 @@ def synthesize_warc_dir(sf_dir: str, docs_per_file: int = 100) -> str:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     ids = sorted(str(d) for d in docs["doc_id"])
+    # _SYNTH_VERSION keys the cache to the body template — bump it whenever
+    # synth_response_for changes or stale archives would be served
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + f":{len(ids)}:{docs_per_file}").encode()
+        (os.path.abspath(sf_dir) + f":{len(ids)}:{docs_per_file}:{_SYNTH_VERSION}")
+        .encode()
     ).hexdigest()[:12]
     out = os.path.join("/tmp", "learnhtml_warc", key)
     marker = os.path.join(out, "_SUCCESS")
