@@ -829,6 +829,84 @@ _WARC_EXTRACT_SQL = _WARC_BODY_CTE + (
 )
 
 
+def _messy_urls(spark, sf_dir):
+    """Synthetic messy-URL table: five spelling variants (case, explicit
+    default port, fragment, permuted/empty query params) per canonical
+    group of 5 docs, with an https/empty-path family every 4th group so
+    the :443 and empty-path->/ rules are exercised.  Pure function of
+    doc_id — the oracle re-states the construction AND the expected
+    canonical form independently in SQL."""
+    d = F.col("doc_id").cast("long")
+    g, v = (d / 5).cast("long"), d % 5
+    https = g % 4 == F.lit(1)
+    scheme = F.when(https, "https").otherwise("http")
+    host = F.when(https, "site.example").otherwise("example.com")
+    dport = F.when(https, ":443").otherwise(":80")
+    path = F.when(https, "").otherwise(F.concat(F.lit("/p/"), g.cast("string")))
+    url = (
+        F.when(v == 0, F.concat(scheme, F.lit("://"), host, path, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(F.upper(scheme), F.lit("://"), F.upper(host), path,
+                               F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(scheme, F.lit("://"), host, dport, path,
+                               F.lit("?a=1&b=2#frag")))
+        .when(v == 3, F.concat(scheme, F.lit("://"), host, path, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(scheme, F.lit("://"), host, path, F.lit("?b=2&&a=1#x")))
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), url.alias("url")
+    )
+
+
+def q_url_canon(spark, sf_dir):
+    # RFC 3986 syntax-based URL normalization (functions/urls.py) — pure
+    # JVM column expressions in the scan projection, zero exchanges.  The
+    # oracle states the expected canonical form independently (from the
+    # group id, not by re-running a normalizer), so a green row attests
+    # every rule: case, default ports, empty path, param sort, fragment.
+    from learnhtml_spark.functions.urls import url_canonicalize
+
+    return url_canonicalize(_messy_urls(spark, sf_dir))
+
+
+def q_url_dedup(spark, sf_dir):
+    # canonical-URL dedup — the first dedup stage of a crawl pipeline:
+    # ONE hash aggregate on the canonical key (map-side partial agg
+    # applies; a hot URL is surfaced by its count, AQE handles the skew).
+    from learnhtml_spark.functions.urls import url_dedup
+
+    return url_dedup(_messy_urls(spark, sf_dir))
+
+
+# messy-URL construction + expected canonical form, restated in SQL.
+_URL_RAW_CTE = (
+    "with d as (select doc_id::bigint as doc_id, doc_id::bigint // 5 as g, "
+    "doc_id::bigint % 5 as v from documents), "
+    "f as (select doc_id, g, v, "
+    "case when g % 4 = 1 then 'https' else 'http' end as scheme, "
+    "case when g % 4 = 1 then 'site.example' else 'example.com' end as host, "
+    "case when g % 4 = 1 then ':443' else ':80' end as dport, "
+    "case when g % 4 = 1 then '' else '/p/' || g end as path from d), "
+    "u as (select doc_id, g, scheme || '://' || host || "
+    "case when g % 4 = 1 then '/' else path end || '?a=1&b=2' as canon, "
+    "case v "
+    "when 0 then scheme || '://' || host || path || '?a=1&b=2' "
+    "when 1 then upper(scheme) || '://' || upper(host) || path || '?a=1&b=2' "
+    "when 2 then scheme || '://' || host || dport || path || '?a=1&b=2#frag' "
+    "when 3 then scheme || '://' || host || path || '?b=2&a=1' "
+    "else scheme || '://' || host || path || '?b=2&&a=1#x' end as url from f) "
+)
+
+_URL_CANON_SQL = _URL_RAW_CTE + (
+    "select doc_id, url, canon as canonical_url from u"
+)
+
+_URL_DEDUP_SQL = _URL_RAW_CTE + (
+    "select canon as canonical_url, count(*)::bigint as n_variants, "
+    "count(distinct url)::bigint as n_spellings, min(url) as keeper_url "
+    "from u group by canon"
+)
+
+
 def q_pdf_spans(spark, sf_dir):
     # the "PDF/layout parse" leg of the north rule's extraction triad on
     # REAL bytes end-to-end: a deterministic 2-page Flate-compressed PDF is
@@ -1104,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heuristic_spans": q_heuristic_spans,
         "warc_docs": q_warc_docs,
         "warc_extract": q_warc_extract,
+        "url_canon": q_url_canon,
+        "url_dedup": q_url_dedup,
         # -- never driver-attested (new in r5, registered after the cutoff)
         #    or red last round (pack_sequences: oracle-typing fix this round)
         "asof_events": q_asof_events,
@@ -2654,6 +2734,12 @@ def oracle_sql() -> dict[str, str]:
         # (sources/warc_source.py:synth_response_for).
         "warc_docs": _WARC_DOCS_SQL,
         "warc_extract": _WARC_EXTRACT_SQL,
+        # url_canon / url_dedup: the oracle builds the messy URLs the same
+        # way but states the expected canonical form INDEPENDENTLY (from
+        # the group id), so it attests the normalizer's rules rather than
+        # mirroring its code.
+        "url_canon": _URL_CANON_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
         # pdf_spans: Spark runs the real build -> Flate-compress ->
         # inflate -> parse pipeline; the oracle states the expected spans
         # directly since the synthetic content is a pure function of

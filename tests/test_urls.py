@@ -1,0 +1,76 @@
+"""URL canonicalization rules (RFC 3986 §6 syntax-based normalization)
+and the canonical-URL dedup aggregate."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from pyspark.sql import functions as F
+
+from learnhtml_spark.functions.urls import canonical_url, url_dedup
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_rules(spark):
+    cases = {
+        # scheme + host case
+        "HTTP://EXAMPLE.com/x": "http://example.com/x",
+        # default ports dropped, per scheme
+        "http://example.com:80/x": "http://example.com/x",
+        "https://example.com:443/x": "https://example.com/x",
+        # non-default ports kept (including the OTHER scheme's default)
+        "http://example.com:443/x": "http://example.com:443/x",
+        "https://example.com:8443/x": "https://example.com:8443/x",
+        # empty path -> /
+        "http://example.com": "http://example.com/",
+        "http://example.com?a=1": "http://example.com/?a=1",
+        # fragment dropped, even with empty query
+        "http://example.com/x#frag": "http://example.com/x",
+        "http://example.com/x?#frag": "http://example.com/x",
+        # query param sort + empty-run removal; '?' dropped when empty
+        "http://example.com/x?b=2&a=1": "http://example.com/x?a=1&b=2",
+        "http://example.com/x?b=2&&a=1&": "http://example.com/x?a=1&b=2",
+        "http://example.com/x?": "http://example.com/x",
+        # path case and params' case are PRESERVED (only scheme/host fold)
+        "http://example.com/X?A=1": "http://example.com/X?A=1",
+        # userinfo-free host with subdomain
+        "https://WWW.Site.example/a/b?z=9&y=8#s": (
+            "https://www.site.example/a/b?y=8&z=9"
+        ),
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_idempotent(spark):
+    urls = [
+        "HTTP://EXAMPLE.com:80?b=2&&a=1#f",
+        "https://x.example:443/p?q=1",
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/p?x=1&y=2",),
+            ("HTTP://A.EXAMPLE/p?x=1&y=2",),
+            ("http://a.example:80/p?y=2&x=1#f",),
+            ("http://b.example/q",),
+        ],
+        ["url"],
+    )
+    rows = {r.canonical_url: r for r in url_dedup(df).collect()}
+    a = rows["http://a.example/p?x=1&y=2"]
+    assert (a.n_variants, a.n_spellings) == (3, 3)
+    assert a.keeper_url == "HTTP://A.EXAMPLE/p?x=1&y=2"  # bytewise min
+    assert rows["http://b.example/q"].n_variants == 1
