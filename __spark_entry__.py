@@ -774,16 +774,17 @@ def q_warc_extract(spark, sf_dir):
     # (sources/warc_source.py:synth_response_for) makes every heuristic
     # verdict predictable — nav link farm dropped, heading kept only via
     # neighbor smoothing, 18-token paragraph kept, footer dropped — so the
-    # oracle states the full extracted span sequence from doc_id alone.
+    # oracle states the full extracted span sequence from doc_id alone —
+    # including the interleaved media span (a REAL PNG fetched as a page
+    # asset, assembled archive-locally) carried through in reading order.
     from learnhtml_spark.operators.heuristic import heuristic_extract_spans
     from learnhtml_spark.sources.warc_source import (
-        read_warc_dir,
+        read_warc_docs,
         synthesize_warc_dir,
-        warc_docs_table,
     )
 
     out = synthesize_warc_dir(sf_dir)
-    return heuristic_extract_spans(warc_docs_table(read_warc_dir(spark, out)))
+    return heuristic_extract_spans(read_warc_docs(spark, out))
 
 
 # Shared CTE prefix: re-derives every synthetic WARC page from doc_id alone
@@ -825,7 +826,15 @@ _WARC_EXTRACT_SQL = _WARC_BODY_CTE + (
     "'Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
     "|| ' retains sixteen deterministic tokens covering corpus fetch parse "
     "extract verify stages end to end.' as text, "
-    "cast(null as varchar) as media_ref, 1 as \"offset\" from k"
+    "cast(null as varchar) as media_ref, 1 as \"offset\" from k "
+    "union all "
+    # the interleaved page asset: docs whose second page-hash digit is
+    # < '8' fetched one PNG; it anchors AFTER the content blocks
+    # (media input offset 1 >= every block's anchor offset 0)
+    "select 'https://corpus.example/' || doc_id as doc_id, "
+    "'media' as kind, '' as text, "
+    "'https://corpus.example/' || doc_id || '/img.png' as media_ref, "
+    "2 as \"offset\" from k where substr(h,2,1) < '8'"
 )
 
 

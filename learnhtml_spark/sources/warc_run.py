@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from learnhtml_spark.sources.warc_source import parse_http_response, parse_warc
+from learnhtml_spark.sources.warc_source import assemble_interleaved, parse_warc
 
 WARC_SPANS = StructType(
     [
@@ -97,20 +97,12 @@ def warc_heuristic_spans_fused(raw: DataFrame) -> DataFrame:
                          f"{type(exc).__name__}: {exc}"[:500], None, -1)
                     )
                     continue
-                for hdrs, block, err in records:
-                    if hdrs.get("warc-type") != "response":
-                        continue
-                    uri = hdrs.get("warc-target-uri") or ""
-                    if err is not None:
-                        rows.append((base, uri, "error", err, None, -1))
-                        continue
+                docs, errors = assemble_interleaved(records)
+                rows.extend(
+                    (base, uri, "error", err, None, -1) for uri, err in errors
+                )
+                for uri, spans in docs:
                     try:
-                        status, _ctype, body = parse_http_response(block)
-                        if status != 200:
-                            continue
-                        html = body.decode("utf-8", "replace")
-                        spans = [{"kind": "html", "text": html,
-                                  "media_ref": None, "offset": 0}]
                         rows.extend(
                             (base, *r)
                             for r in extract_spans_heuristic_doc(uri, spans)

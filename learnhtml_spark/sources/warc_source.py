@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     StringType,
@@ -55,7 +56,7 @@ from pyspark.sql.types import (
 
 CRLF = b"\r\n"
 
-_SYNTH_VERSION = 3  # bump when synth_response_for's construction changes
+_SYNTH_VERSION = 4  # bump when synth_response_for's construction changes
 
 # ---------------------------------------------------------------------------
 # WARC record writer (deterministic synthesis scaffolding)
@@ -113,10 +114,35 @@ def synth_response_for(doc_id: str) -> tuple[int, bytes]:
     return 200, body.encode("ascii")
 
 
+def synth_media_for(doc_id: str) -> bytes | None:
+    """Deterministic PNG payload (or None) for a doc — REAL image bytes
+    from the repo's own encoder (operators/png.py), pixels a pure
+    function of md5(doc_id || ':png').  Docs whose page-hash second hex
+    digit is < '8' carry one image (~half the corpus), so the interleaved
+    text+media assembly is exercised on a mixed population."""
+    h = hashlib.md5(f"{doc_id}:warc".encode()).hexdigest()
+    if h[0] == "f" or h[1] >= "8":
+        return None
+    import numpy as np
+
+    from learnhtml_spark.operators.png import encode_png
+
+    raw = hashlib.md5(f"{doc_id}:png".encode()).digest() * 3  # 48 bytes
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3)
+    return encode_png(px)
+
+
+def media_url(doc_id: str) -> str:
+    return f"{synth_url(doc_id)}/img.png"
+
+
 def build_warc(doc_ids: list[str], gz: bool) -> bytes:
     """One archive: a warcinfo record, then per doc a request record (the
-    reader must skip non-response types) and the response record.  Every
-    byte deterministic (fixed WARC-Date, gzip mtime=0)."""
+    reader must skip non-response types), the page response record, and —
+    for docs carrying media — an image response record immediately after
+    its page (the archive-local adjacency that interleaved assembly
+    relies on).  Every byte deterministic (fixed WARC-Date, gzip
+    mtime=0)."""
     records = [
         build_record(
             "warcinfo",
@@ -154,6 +180,19 @@ def build_warc(doc_ids: list[str], gz: bool) -> bytes:
                 ),
             )
         )
+        media = synth_media_for(doc_id)
+        if media is not None:
+            records.append(
+                build_record(
+                    "response",
+                    {
+                        "WARC-Target-URI": media_url(doc_id),
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    http_response(200, "OK", "image/png", media),
+                )
+            )
     if gz:  # one gzip member per record — the CommonCrawl layout
         return b"".join(gzip.compress(r, mtime=0) for r in records)
     return b"".join(records)
@@ -314,13 +353,133 @@ def read_warc_dir(spark: SparkSession, directory: str) -> DataFrame:
     return raw.mapInPandas(run, schema=WARC_RECORDS)
 
 
-def warc_response_docs(records: DataFrame) -> DataFrame:
-    """Response records -> one row per fetched page with JVM-side digest
-    columns (url, status, content_type, n_bytes, body_md5) — the shape the
-    driver oracle states in SQL.  Pure narrow projection."""
+def assemble_interleaved(
+    records: list[tuple[dict, bytes, str | None]],
+) -> tuple[list[tuple[str, list[dict]]], list[tuple[str, str]]]:
+    """Parsed records -> interleaved (url, spans) docs + (uri, error)s.
+
+    A ``text/html`` 200 opens a document (html span, offset 0); the
+    media responses that immediately follow it under ``<page-url>/...``
+    attach as media spans in arrival order — the archive-local adjacency
+    CommonCrawl-style conversion jobs rely on (a page and its fetched
+    assets land consecutively in the same archive, so assembly needs no
+    shuffle and no cross-archive state)."""
+    docs: list[tuple[str, list[dict]]] = []
+    errors: list[tuple[str, str]] = []
+    cur: tuple[str, list[dict]] | None = None
+    for hdrs, block, err in records:
+        if hdrs.get("warc-type") != "response":
+            continue
+        uri = hdrs.get("warc-target-uri") or ""
+        if err is not None:
+            errors.append((uri, err))
+            cur = None
+            continue
+        try:
+            status, ctype, body = parse_http_response(block)
+        except Exception as exc:  # noqa: BLE001 — per-record isolation
+            errors.append((uri, f"{type(exc).__name__}: {exc}"[:500]))
+            cur = None
+            continue
+        if status != 200:
+            cur = None
+        elif ctype.startswith("text/html"):
+            cur = (
+                uri,
+                [{"kind": "html", "text": body.decode("utf-8", "replace"),
+                  "media_ref": None, "offset": 0}],
+            )
+            docs.append(cur)
+        elif cur is not None and uri.startswith(cur[0] + "/"):
+            cur[1].append(
+                {"kind": "media", "text": "", "media_ref": uri,
+                 "offset": len(cur[1])}
+            )
+    return docs, errors
+
+
+WARC_DOCS = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("kind", StringType(), False),
+                        StructField("text", StringType()),
+                        StructField("media_ref", StringType()),
+                        StructField("offset", IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def read_warc_docs(spark: SparkSession, directory: str) -> DataFrame:
+    """Archive directory -> interleaved (doc_id, spans) documents — the
+    engine's input_hint table shape, straight off crawl archives.  One
+    fused task per archive (framing + gzip + HTTP + assembly), zero
+    shuffles; damaged records are skipped here (read_warc_dir is the
+    auditable record-level surface)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(directory)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    if path.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    records = parse_warc(data)
+                except Exception:  # archive-level poison: no docs
+                    continue
+                docs, _errors = assemble_interleaved(records)
+                rows.extend(docs)
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return raw.mapInPandas(run, schema=WARC_DOCS)
+
+
+def warc_media_table(records: DataFrame) -> DataFrame:
+    """Non-html 200 responses as an opaque-binary media table
+    (media_ref, content_type, data) — the multimodal column model;
+    feed to media_features / decode UDFs.  Narrow projection."""
     return (
         records.filter(
-            (F.col("warc_type") == "response") & F.col("error").isNull()
+            (F.col("warc_type") == "response")
+            & F.col("error").isNull()
+            & (F.col("http_status") == 200)
+            & ~F.col("content_type").startswith("text/html")
+        )
+        .select(
+            F.col("target_uri").alias("media_ref"),
+            "content_type",
+            F.col("body").alias("data"),
+        )
+    )
+
+
+def warc_response_docs(records: DataFrame) -> DataFrame:
+    """text/html response records -> one row per fetched page with
+    JVM-side digest columns (url, status, content_type, n_bytes,
+    body_md5) — the shape the driver oracle states in SQL.  Pure narrow
+    projection.  (Non-html responses — fetched page assets — are the
+    media table's business, warc_media_table.)"""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("error").isNull()
+            & F.col("content_type").startswith("text/html")
         )
         .select(
             F.col("target_uri").alias("url"),
@@ -348,6 +507,7 @@ def warc_docs_table(records: DataFrame) -> DataFrame:
             (F.col("warc_type") == "response")
             & F.col("error").isNull()
             & (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
         )
         .select(F.col("target_uri").alias("doc_id"), F.array(span).alias("spans"))
     )

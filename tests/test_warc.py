@@ -13,36 +13,88 @@ from learnhtml_spark.sources.warc_source import (
     build_record,
     build_warc,
     http_response,
+    media_url,
     parse_http_response,
     parse_warc,
     read_warc_dir,
+    read_warc_docs,
+    synth_media_for,
     synth_response_for,
     synth_url,
     synthesize_warc_dir,
     warc_docs_table,
+    warc_media_table,
     warc_response_docs,
 )
 
 
 def test_roundtrip_plain_and_gz():
     ids = ["a1", "b2", "c3"]
+    want_types = ["warcinfo"]
+    for i in ids:
+        want_types += ["request", "response"]
+        if synth_media_for(i) is not None:
+            want_types.append("response")
     for gz in (False, True):
         data = build_warc(ids, gz)
         if gz:
             data = gzip.decompress(data)
         recs = parse_warc(data)
-        # warcinfo + (request, response) per doc
-        assert [h.get("warc-type") for h, _, _ in recs] == (
-            ["warcinfo"] + ["request", "response"] * 3
-        )
+        assert [h.get("warc-type") for h, _, _ in recs] == want_types
         assert all(err is None for _, _, err in recs)
-        responses = [r for r in recs if r[0].get("warc-type") == "response"]
-        for (hdrs, block, _), doc_id in zip(responses, ids):
-            assert hdrs["warc-target-uri"] == synth_url(doc_id)
+        pages = {
+            r[0]["warc-target-uri"]: r
+            for r in recs
+            if r[0].get("warc-type") == "response"
+        }
+        for doc_id in ids:
+            hdrs, block, _ = pages[synth_url(doc_id)]
             status, ctype, body = parse_http_response(block)
             want_status, want_body = synth_response_for(doc_id)
             assert (status, body) == (want_status, want_body)
             assert ctype == "text/html; charset=utf-8"
+            media = synth_media_for(doc_id)
+            if media is not None:
+                _, mblock, _ = pages[media_url(doc_id)]
+                mstatus, mctype, mbody = parse_http_response(mblock)
+                assert (mstatus, mctype, mbody) == (200, "image/png", media)
+
+
+def test_interleaved_assembly_and_png_roundtrip(spark, tmp_path):
+    # pick ids covering both populations (with and without media)
+    ids = [f"m{i}" for i in range(12)]
+    with_media = [i for i in ids if synth_media_for(i) is not None]
+    without = [i for i in ids if synth_media_for(i) is None
+               and synth_response_for(i)[0] == 200]
+    assert with_media and without  # both populations present
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(build_warc(ids, gz=False))
+
+    docs = {r.doc_id: r.spans for r in read_warc_docs(spark, str(d)).collect()}
+    for i in with_media:
+        spans = docs[synth_url(i)]
+        assert [s.kind for s in spans] == ["html", "media"]
+        assert spans[1].media_ref == media_url(i)
+        assert spans[1].offset == 1
+    for i in without:
+        assert [s.kind for s in docs[synth_url(i)]] == ["html"]
+
+    # media table carries REAL PNG bytes — our own decoder round-trips them
+    import numpy as np
+
+    from learnhtml_spark.operators.png import decode_png
+
+    media_rows = warc_media_table(read_warc_dir(spark, str(d))).collect()
+    assert {r.media_ref for r in media_rows} == {media_url(i) for i in with_media}
+    for r in media_rows:
+        doc_id = r.media_ref.rsplit("/", 2)[-2]
+        px = decode_png(bytes(r.data))
+        want = np.frombuffer(
+            hashlib.md5(f"{doc_id}:png".encode()).digest() * 3, dtype=np.uint8
+        ).reshape(4, 4, 3)
+        assert r.content_type == "image/png"
+        assert (px == want).all()
 
 
 def test_content_length_authoritative():
@@ -117,7 +169,7 @@ def test_end_to_end_extract_spans(spark):
     from learnhtml_spark.operators.heuristic import heuristic_extract_spans
 
     rows = (
-        heuristic_extract_spans(warc_docs_table(read_warc_dir(spark, out)))
+        heuristic_extract_spans(read_warc_docs(spark, out))
         .orderBy("doc_id", "offset")
         .collect()
     )
@@ -130,14 +182,15 @@ def test_end_to_end_extract_spans(spark):
         )["doc_id"]
     )
     ids200 = [i for i in ids if synth_response_for(i)[0] == 200]
-    assert len(rows) == 2 * len(ids200)
+    n_media = sum(1 for i in ids200 if synth_media_for(i) is not None)
+    assert len(rows) == 2 * len(ids200) + n_media
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
     for doc_id in ids200:
         h = hashlib.md5(f"{doc_id}:warc".encode()).hexdigest()
         got = by_doc[synth_url(doc_id)]
-        assert [(r.kind, r.text, r.media_ref, r.offset) for r in got] == [
+        want = [
             ("text", f"Doc {doc_id} crawl report", None, 0),
             (
                 "text",
@@ -148,6 +201,10 @@ def test_end_to_end_extract_spans(spark):
                 1,
             ),
         ]
+        if synth_media_for(doc_id) is not None:
+            # the page asset rides through extraction in reading order
+            want.append(("media", "", media_url(doc_id), 2))
+        assert [(r.kind, r.text, r.media_ref, r.offset) for r in got] == want
 
 
 def test_docs_table_feeds_extraction(spark):

@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 from learnhtml_spark.sources.warc_run import write_warc_run
 from learnhtml_spark.sources.warc_source import (
     build_warc,
+    synth_media_for,
     synth_response_for,
     synth_url,
 )
@@ -37,8 +38,10 @@ def test_run_resume_and_catchup(spark, tmp_path):
     s1 = write_warc_run(spark, str(d), base, "r1")
     assert len(s1["processed"]) == 3 and s1["skipped"] == []
     n200 = sum(1 for i in ids if synth_response_for(i)[0] == 200)
+    n_media = sum(1 for i in ids if synth_media_for(i) is not None)
     assert s1["docs"] == n200
-    assert s1["spans"] == 2 * n200  # heading + paragraph per 200-page
+    # heading + paragraph per 200-page, plus its interleaved page asset
+    assert s1["spans"] == 2 * n200 + n_media
     assert s1["errors"] == 0
 
     # no-op resume: nothing re-read, nothing re-written
@@ -65,12 +68,16 @@ def test_run_resume_and_catchup(spark, tmp_path):
             continue
         h = hashlib.md5(f"{doc_id}:warc".encode()).hexdigest()
         got = sorted(by_doc[url], key=lambda r: r.offset)
-        assert [r.text for r in got] == [
+        want = [
             f"Doc {doc_id} crawl report",
             f"Paragraph {h[:12]} for {doc_id} retains sixteen deterministic "
             "tokens covering corpus fetch parse extract verify stages end "
             "to end.",
         ]
+        if synth_media_for(doc_id) is not None:
+            want.append("")  # interleaved page asset, in reading order
+            assert got[-1].kind == "media"
+        assert [r.text for r in got] == want
 
     # lineage: one ok row per archive with consistent metrics
     lin = spark.read.parquet(os.path.join(base, "lineage")).collect()
@@ -79,7 +86,10 @@ def test_run_resume_and_catchup(spark, tmp_path):
         "part-00099.warc",
     }
     assert all(r.status == "ok" and r.run_id == "r1" for r in lin)
-    assert sum(r.span_count for r in lin) == 2 * (n200 + len(new_ids))
+    all_media = sum(
+        1 for i in ids + new_ids if synth_media_for(i) is not None
+    )
+    assert sum(r.span_count for r in lin) == 2 * (n200 + len(new_ids)) + all_media
 
 
 def test_poison_archive_is_lineage_error_count(spark, tmp_path):
