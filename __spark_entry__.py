@@ -787,6 +787,62 @@ def q_warc_extract(spark, sf_dir):
     return heuristic_extract_spans(read_warc_docs(spark, out))
 
 
+def _link_edges(spark, sf_dir):
+    """Deterministic synthetic link graph over the documents table: every
+    doc links to (7d+3) mod N and (13d+5) mod N — uniform out-degree 2,
+    irregular in-degree (some nodes get many in-links, some none), self
+    loops and parallel edges possible, all well-defined in both engines.
+    N enters the plan as a broadcast one-row count (no eager count() at
+    plan-build time — the tfidf_topk pattern)."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("src"))
+    n_row = d.groupBy().agg(F.count("*").alias("_n"))
+    e = d.join(F.broadcast(n_row))
+    src = F.col("src")
+    n = F.col("_n")
+    return e.select(
+        src,
+        F.explode(
+            F.array((src * 7 + 3) % n, (src * 13 + 5) % n)
+        ).alias("dst"),
+    )
+
+
+def q_link_graph(spark, sf_dir):
+    # the synthetic crawl link graph itself (src, dst) — the input
+    # contract for the PageRank queries, attested independently
+    return _link_edges(spark, sf_dir)
+
+
+def q_pagerank(spark, sf_dir):
+    # integer-exact PageRank (functions/graph.py): uniform out-degree 2 +
+    # damping 17/20 rescale the recurrence to pure int64, so the
+    # distributed rank is bit-identical under any partitioning and the
+    # oracle states all 6 unrolled iterations in SQL.  Per round: ONE
+    # equi-join + ONE hash aggregate; localCheckpoint truncates lineage.
+    from learnhtml_spark.functions.graph import pagerank_exact
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    return pagerank_exact(nodes, _link_edges(spark, sf_dir), iters=6)
+
+
+_LINK_EDGE_SQL = (
+    "select doc_id::bigint as src, dst from ("
+    "select doc_id, n, unnest([(doc_id::bigint * 7 + 3) % n, "
+    "(doc_id::bigint * 13 + 5) % n]) as dst "
+    "from documents, (select count(*)::bigint as n from documents))"
+)
+
+_LINK_NODE_SQL = "select doc_id::bigint as node from documents"
+
+
+def _pagerank_oracle_sql():
+    from learnhtml_spark.functions.graph import pagerank_exact_sql
+
+    return pagerank_exact_sql(_LINK_EDGE_SQL, _LINK_NODE_SQL, d_out=2, iters=6)
+
+
 # Shared CTE prefix: re-derives every synthetic WARC page from doc_id alone
 # (mirrors sources/warc_source.py:synth_response_for byte-for-byte).
 _WARC_BODY_CTE = (
@@ -1193,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
         # -- never driver-attested (new in r5, registered after the cutoff)
         #    or red last round (pack_sequences: oracle-typing fix this round)
         "asof_events": q_asof_events,
@@ -2749,6 +2807,11 @@ def oracle_sql() -> dict[str, str]:
         # mirroring its code.
         "url_canon": _URL_CANON_SQL,
         "url_dedup": _URL_DEDUP_SQL,
+        # link_graph / pagerank: the oracle unrolls all 6 integer-exact
+        # iterations (functions/graph.py:pagerank_exact_sql) — bit-exact
+        # by construction, no float-sum order hazard.
+        "link_graph": _LINK_EDGE_SQL,
+        "pagerank": _pagerank_oracle_sql(),
         # pdf_spans: Spark runs the real build -> Flate-compress ->
         # inflate -> parse pipeline; the oracle states the expected spans
         # directly since the synthetic content is a pure function of
