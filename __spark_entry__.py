@@ -787,6 +787,22 @@ def q_warc_extract(spark, sf_dir):
     return heuristic_extract_spans(read_warc_docs(spark, out))
 
 
+def q_outlinks(spark, sf_dir):
+    # crawl-frontier outlink extraction (functions/links.py): anchors from
+    # the REAL parsed DOM of the WARC pages, hrefs resolved per RFC 3986
+    # (path-absolute, absolute, protocol-relative, relative, dot-segment —
+    # the nav covers every shape).  One narrow mapInPandas; the oracle
+    # states all seven resolved rows per 200-page from doc_id alone.
+    from learnhtml_spark.functions.links import extract_outlinks
+    from learnhtml_spark.sources.warc_source import (
+        read_warc_docs,
+        synthesize_warc_dir,
+    )
+
+    out = synthesize_warc_dir(sf_dir)
+    return extract_outlinks(read_warc_docs(spark, out))
+
+
 def _link_edges(spark, sf_dir):
     """Deterministic synthetic link graph over the documents table: every
     doc links to (7d+3) mod N and (13d+5) mod N — uniform out-degree 2,
@@ -856,7 +872,11 @@ _WARC_BODY_CTE = (
     "else '<html><head><title>Doc ' || doc_id || '</title></head><body>' "
     "|| '<ul class=\"nav\"><li><a href=\"/home\">Home</a></li>' "
     "|| '<li><a href=\"/about\">About</a></li>' "
-    "|| '<li><a href=\"/contact\">Contact</a></li></ul>' "
+    "|| '<li><a href=\"/contact\">Contact</a></li>' "
+    "|| '<li><a href=\"http://ext.example/x?b=1\">Ext</a></li>' "
+    "|| '<li><a href=\"//cdn.example/lib\">Cdn</a></li>' "
+    "|| '<li><a href=\"item/' || substr(h,3,4) || '\">Item</a></li>' "
+    "|| '<li><a href=\"../up\">Up</a></li></ul>' "
     "|| '<h1>Doc ' || doc_id || ' crawl report</h1>' "
     "|| '<p>Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
     "|| ' retains sixteen deterministic tokens covering corpus fetch parse "
@@ -891,6 +911,25 @@ _WARC_EXTRACT_SQL = _WARC_BODY_CTE + (
     "'media' as kind, '' as text, "
     "'https://corpus.example/' || doc_id || '/img.png' as media_ref, "
     "2 as \"offset\" from k where substr(h,2,1) < '8'"
+)
+
+# outlinks: the expected (href, resolved url, host) triples per 200-page,
+# zipped by parallel unnest (multiple unnests in a SELECT zip in DuckDB)
+_OUTLINKS_SQL = _WARC_BODY_CTE + (
+    ", k as (select doc_id, h, 'https://corpus.example/' || doc_id as base "
+    "from b where status = 200) "
+    "select base as doc_id, "
+    "unnest([0, 1, 2, 3, 4, 5, 6]) as link_pos, "
+    "unnest(['/home', '/about', '/contact', 'http://ext.example/x?b=1', "
+    "'//cdn.example/lib', 'item/' || substr(h,3,4), '../up']) as href, "
+    "unnest(['https://corpus.example/home', 'https://corpus.example/about', "
+    "'https://corpus.example/contact', 'http://ext.example/x?b=1', "
+    "'https://cdn.example/lib', "
+    "'https://corpus.example/item/' || substr(h,3,4), "
+    "'https://corpus.example/up']) as url, "
+    "unnest(['corpus.example', 'corpus.example', 'corpus.example', "
+    "'ext.example', 'cdn.example', 'corpus.example', 'corpus.example']) "
+    "as dst_host from k"
 )
 
 
@@ -1249,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
+        "outlinks": q_outlinks,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         # -- never driver-attested (new in r5, registered after the cutoff)
@@ -2810,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         # link_graph / pagerank: the oracle unrolls all 6 integer-exact
         # iterations (functions/graph.py:pagerank_exact_sql) — bit-exact
         # by construction, no float-sum order hazard.
+        "outlinks": _OUTLINKS_SQL,
         "link_graph": _LINK_EDGE_SQL,
         "pagerank": _pagerank_oracle_sql(),
         # pdf_spans: Spark runs the real build -> Flate-compress ->

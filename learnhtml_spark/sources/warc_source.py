@@ -56,7 +56,7 @@ from pyspark.sql.types import (
 
 CRLF = b"\r\n"
 
-_SYNTH_VERSION = 4  # bump when synth_response_for's construction changes
+_SYNTH_VERSION = 5  # bump when synth_response_for's construction changes
 
 # ---------------------------------------------------------------------------
 # WARC record writer (deterministic synthesis scaffolding)
@@ -89,7 +89,8 @@ def synth_response_for(doc_id: str) -> tuple[int, bytes]:
     hash starts with 'f' become 404s so status filtering is exercised.
 
     The 200-page layout is adversarial-but-predictable for the heuristic
-    extractor (operators/heuristic.py): a nav link farm (link density 1.0
+    extractor (operators/heuristic.py): a nav link farm covering every
+    RFC 3986 reference shape for the outlink extractor (link density high
     -> boilerplate), a 4-token heading (near-content, kept only via the
     neighbor-smoothing rule), an 18-token content paragraph (core
     content), and a 2-token footer (too short -> dropped) — so the
@@ -105,7 +106,11 @@ def synth_response_for(doc_id: str) -> tuple[int, bytes]:
         f"<html><head><title>Doc {doc_id}</title></head><body>"
         f'<ul class="nav"><li><a href="/home">Home</a></li>'
         f'<li><a href="/about">About</a></li>'
-        f'<li><a href="/contact">Contact</a></li></ul>'
+        f'<li><a href="/contact">Contact</a></li>'
+        f'<li><a href="http://ext.example/x?b=1">Ext</a></li>'
+        f'<li><a href="//cdn.example/lib">Cdn</a></li>'
+        f'<li><a href="item/{h[2:6]}">Item</a></li>'
+        f'<li><a href="../up">Up</a></li></ul>'
         f"<h1>Doc {doc_id} crawl report</h1>"
         f"<p>Paragraph {h[:12]} for {doc_id} retains sixteen deterministic "
         f"tokens covering corpus fetch parse extract verify stages end to end.</p>"
