@@ -61,6 +61,15 @@ NOTES = {
     "embedding_decontaminate": "semantic decontamination: eval matrix broadcast (small by construction) -> ONE narrow mapInPandas gram pass; vec_id>cutoff pushed to the parquet scan, ZERO exchanges",
     "semdedup": "SemDeDup: centroid broadcast -> narrow cell assignment (mapInPandas) -> ONE shuffle -> per-cell gram + in-kernel min-keeper fold (no pair rows)",
     "quantile_filter": "guarded padded desc key -> skew-safe two-phase rank -> broadcast per-group counts -> integer-ratio cut",
+    "pdf_spans": "pure narrow plan: synthesize -> build/Flate-compress -> inflate/parse, one python stage, zero exchanges",
+    "heuristic_spans": "scan -> repartition (2x cores: python-stage balancing, the _docs_balanced pattern) -> ONE mapInPandas (parse + blockify + density rules)",
+    "warc_docs": "binaryFile listing fan-out (one task per archive) -> ONE mapInPandas (framing + gzip + HTTP) -> narrow digest projection, zero shuffles",
+    "warc_extract": "fused crawl extraction: binaryFile -> interleaved assembly -> parser -> blockifier -> density rules, two chained python stages, zero exchanges",
+    "outlinks": "binaryFile -> interleaved assembly -> DOM walk + RFC 3986 resolution, narrow, zero exchanges",
+    "url_canon": "pure JVM canonicalization exprs inside the scan projection, zero exchanges",
+    "url_dedup": "canonicalize in-projection -> ONE hash aggregate on the canonical key (map-side partial agg)",
+    "link_graph": "edge derivation: broadcast one-row count cross join -> narrow modular exprs + explode",
+    "pagerank": "6 integer-exact rounds, each ONE equi-join (ranks on src, AQE-sided) + ONE hash aggregate; localCheckpoint truncates lineage (plan shown reads the converged checkpoint blocks)",
 }
 
 
