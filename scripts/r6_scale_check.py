@@ -24,7 +24,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_1X = "/root/testdata/sf0.01"
 SF_10X = "/root/testdata/sf0.1"
 ARTIFACT = "artifacts_newops_scale_r6.json"
-QUERIES = ["pdf_spans", "heuristic_spans", "warc_docs", "warc_extract"]
+QUERIES = [
+    "pdf_spans", "heuristic_spans", "warc_docs", "warc_extract",
+    "outlinks", "url_canon", "url_dedup", "link_graph", "pagerank",
+]
 
 
 def _timed(thunk):
