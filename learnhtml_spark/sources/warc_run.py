@@ -195,11 +195,26 @@ def write_warc_run(
         [f for f in WARC_SPANS.fields if f.name != "archive"]
         + [StructField("archive", StringType())]
     )
-    landed = (
-        spark.read.schema(landed_schema)
-        .parquet(os.path.join(base_path, "spans"))
-        .filter(F.col("archive").isin(pending))
-    )
+    # read ONLY the pending archives' partition dirs (basePath keeps the
+    # partition column) — a catch-up's metric read stays O(new archives)
+    # instead of listing every landed partition at 100k-archive scale.
+    # An archive whose pages produced zero rows writes no partition dir,
+    # so prune to the dirs that exist (swap os.path.exists for a Hadoop
+    # FileSystem.exists on a real cluster FS).
+    spans_root = os.path.join(base_path, "spans")
+    part_dirs = [
+        p
+        for b in pending
+        if os.path.exists(p := os.path.join(spans_root, f"archive={b}"))
+    ]
+    if part_dirs:
+        landed = (
+            spark.read.schema(landed_schema)
+            .option("basePath", spans_root)
+            .parquet(*part_dirs)
+        )
+    else:
+        landed = spark.createDataFrame([], landed_schema)
     stats = {
         r.archive: r
         for r in landed.groupBy("archive")
