@@ -913,6 +913,55 @@ _WARC_EXTRACT_SQL = _WARC_BODY_CTE + (
     "2 as \"offset\" from k where substr(h,2,1) < '8'"
 )
 
+# warc_stream: the streaming ingest produces the same extraction rows as
+# warc_extract plus the archive column; the archive name is itself a pure
+# function of doc_id (synthesize_warc_dir packs 100 string-sorted ids per
+# file, alternating .warc / .warc.gz) so the oracle states it via
+# row_number.
+_WARC_STREAM_SQL = (
+    "with d as (select cast(doc_id as varchar) as doc_id, "
+    "md5(cast(doc_id as varchar) || ':warc') as h from documents), "
+    "o as (select doc_id, h, "
+    "(row_number() over (order by doc_id) - 1) // 100 as fno from d), "
+    "k as (select doc_id, h, 'https://corpus.example/' || doc_id as url, "
+    "'part-' || lpad(cast(fno as varchar), 5, '0') || '.warc' || "
+    "case when fno % 2 = 1 then '.gz' else '' end as archive "
+    "from o where substr(h,1,1) <> 'f') "
+    "select archive, url as doc_id, 'text' as kind, "
+    "'Doc ' || doc_id || ' crawl report' as text, "
+    "cast(null as varchar) as media_ref, 0 as \"offset\" from k "
+    "union all "
+    "select archive, url as doc_id, 'text' as kind, "
+    "'Paragraph ' || substr(h,1,12) || ' for ' || doc_id "
+    "|| ' retains sixteen deterministic tokens covering corpus fetch parse "
+    "extract verify stages end to end.' as text, "
+    "cast(null as varchar) as media_ref, 1 as \"offset\" from k "
+    "union all "
+    "select archive, url as doc_id, 'media' as kind, '' as text, "
+    "url || '/img.png' as media_ref, 2 as \"offset\" from k "
+    "where substr(h,2,1) < '8'"
+)
+
+
+def q_warc_stream(spark, sf_dir):
+    # streaming crawl ingestion (streaming/warc_stream.py): the archives
+    # replayed through Structured Streaming's file source with
+    # Trigger.AvailableNow — the checkpoint log IS the processed-archive
+    # manifest (exactly-once, crash-resume, incremental catch-up).  The
+    # plan is the SAME fused kernel as the batch run, so the oracle can
+    # state every row (including which archive it came from) from doc_id.
+    import tempfile
+
+    from learnhtml_spark.sources.warc_source import synthesize_warc_dir
+    from learnhtml_spark.streaming.warc_stream import run_available_now
+
+    out = synthesize_warc_dir(sf_dir)
+    work = tempfile.mkdtemp(prefix="warc_stream_")
+    return run_available_now(
+        spark, out, os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    )
+
+
 # outlinks: the expected (href, resolved url, host) triples per 200-page,
 # zipped by parallel unnest (multiple unnests in a SELECT zip in DuckDB)
 _OUTLINKS_SQL = _WARC_BODY_CTE + (
@@ -1289,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
         "outlinks": q_outlinks,
+        "warc_stream": q_warc_stream,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         # -- never driver-attested (new in r5, registered after the cutoff)
@@ -2851,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         # iterations (functions/graph.py:pagerank_exact_sql) — bit-exact
         # by construction, no float-sum order hazard.
         "outlinks": _OUTLINKS_SQL,
+        "warc_stream": _WARC_STREAM_SQL,
         "link_graph": _LINK_EDGE_SQL,
         "pagerank": _pagerank_oracle_sql(),
         # pdf_spans: Spark runs the real build -> Flate-compress ->
