@@ -117,6 +117,58 @@ def warc_heuristic_spans_fused(raw: DataFrame) -> DataFrame:
     return raw.mapInPandas(run, schema=WARC_SPANS)
 
 
+#: separator packing the archive basename into doc_id across the
+#: classifier kernel (tab cannot appear in an archive basename or URL
+#: written by any sane crawler; guarded at pack time)
+_KEY_SEP = "\t"
+
+
+def warc_classifier_spans_fused(raw: DataFrame, model_bytes: bytes) -> DataFrame:
+    """Classifier-model variant of the fused run: per archive, the SAME
+    interleaved assembly, then the golden-tested batched classifier
+    kernel (operators/extract.py:extract_content_spans) — reused
+    verbatim by packing the archive basename into the doc key (split
+    back afterwards), so the whole path stays zero-shuffle and the
+    model's Arrow-batch phase-2 predict batching is preserved."""
+    import gzip
+
+    from learnhtml_spark.operators.extract import extract_content_spans
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.basename(path)
+                if _KEY_SEP in base:
+                    raise ValueError(f"archive name contains tab: {base!r}")
+                data = bytes(content)
+                try:
+                    if path.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    docs, _errors = assemble_interleaved(parse_warc(data))
+                except Exception:  # archive-level poison: no docs
+                    continue
+                rows.extend(
+                    (f"{base}{_KEY_SEP}{uri}", spans) for uri, spans in docs
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    from learnhtml_spark.sources.warc_source import WARC_DOCS
+
+    docs = raw.mapInPandas(assemble, schema=WARC_DOCS)
+    spans = extract_content_spans(docs, model_bytes)
+    key = F.split_part(F.col("doc_id"), F.lit(_KEY_SEP), F.lit(1))
+    url = F.split_part(F.col("doc_id"), F.lit(_KEY_SEP), F.lit(2))
+    return spans.select(
+        key.alias("archive"),
+        url.alias("doc_id"),
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    )
+
+
 def _read_lineage(spark: SparkSession, base_path: str) -> DataFrame:
     path = os.path.join(base_path, "lineage")
     try:
@@ -159,6 +211,7 @@ def write_warc_run(
     base_path: str,
     run_id: str,
     max_archives_per_call: int | None = None,
+    model_bytes: bytes | None = None,
 ) -> dict:
     """Run (or resume) a crawl extraction over an archive directory.
 
@@ -166,6 +219,10 @@ def write_warc_run(
     listing before any content is read; a rerun after new archives land
     processes only the new ones.  Returns {processed, skipped, docs,
     spans, errors}.
+
+    ``model_bytes``: None -> the heuristic density extractor (cheap
+    first-pass strip); a NodeClassifier artifact -> the full ML
+    extraction path (warc_classifier_spans_fused).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = list_archives(spark, warc_dir)
@@ -183,7 +240,10 @@ def write_warc_run(
         .load([manifest[b] for b in pending])
         .select("path", "content")
     )
-    out = warc_heuristic_spans_fused(raw)
+    if model_bytes is None:
+        out = warc_heuristic_spans_fused(raw)
+    else:
+        out = warc_classifier_spans_fused(raw, model_bytes)
     out.write.mode("overwrite").partitionBy("archive").parquet(
         os.path.join(base_path, "spans")
     )

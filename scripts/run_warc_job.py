@@ -22,6 +22,12 @@ def main():
     ap.add_argument("output_base")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--max-archives", type=int, default=None)
+    ap.add_argument(
+        "--model",
+        default=None,
+        help="NodeClassifier artifact path: switches from the heuristic "
+        "strip to the full ML extraction path",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -31,9 +37,11 @@ def main():
     # import AFTER the session exists so --py-files zips are importable
     from learnhtml_spark.sources.warc_run import write_warc_run
 
+    model_bytes = open(args.model, "rb").read() if args.model else None
     summary = write_warc_run(
         spark, args.warc_dir, args.output_base, args.run_id,
         max_archives_per_call=args.max_archives,
+        model_bytes=model_bytes,
     )
     print(
         f"run_id={args.run_id} processed={len(summary['processed'])} "

@@ -220,3 +220,34 @@ def test_docs_table_feeds_extraction(spark):
     assert n200 > 0
     sample = docs.select("spans").first()["spans"]
     assert sample[0]["kind"] == "html" and "<html>" in sample[0]["text"]
+
+
+def test_parse_never_raises_fuzz():
+    # recovery contract: ANY truncation or byte corruption of an archive
+    # parses to a record list (errors surface as rows, never exceptions)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    data = build_warc(["f1", "f2", "f3"], gz=False)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        cut=st.integers(min_value=0, max_value=len(data)),
+        pos=st.integers(min_value=0, max_value=len(data) - 1),
+        byte=st.integers(min_value=0, max_value=255),
+    )
+    def check(cut, pos, byte):
+        mutated = bytearray(data[:cut])
+        if pos < len(mutated):
+            mutated[pos] = byte
+        recs = parse_warc(bytes(mutated))
+        assert isinstance(recs, list)
+        for hdrs, block, err in recs:
+            if err is None and "content-length" in hdrs:
+                try:
+                    clen = int(hdrs["content-length"])
+                except ValueError:
+                    clen = 0  # parser treats unparseable lengths as 0
+                assert len(block) == clen
+
+    check()

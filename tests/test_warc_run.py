@@ -114,3 +114,30 @@ def test_max_archives_batching(spark, tmp_path):
     assert len(s1["processed"]) == 3
     s2 = write_warc_run(spark, str(d), base, "r1", max_archives_per_call=3)
     assert len(s2["processed"]) == 1 and len(s2["skipped"]) == 3
+
+
+def test_classifier_extractor_path(spark, tmp_path):
+    d, ids = _archive_dir(tmp_path, n_files=2)
+    base = str(tmp_path / "out")
+    import importlib.resources as res
+
+    model_bytes = (
+        res.files("learnhtml_spark") / "artifacts" / "model.npz"
+    ).read_bytes()
+    s = write_warc_run(spark, str(d), base, "r1", model_bytes=model_bytes)
+    assert len(s["processed"]) == 2 and s["errors"] == 0
+    spans = spark.read.parquet(os.path.join(base, "spans"))
+    rows = spans.collect()
+    n200 = sum(1 for i in ids if synth_response_for(i)[0] == 200)
+    # archive/doc keys unpacked correctly; no error rows; media carried
+    assert {r.archive for r in rows} <= {"part-00000.warc", "part-00001.warc.gz"}
+    assert all(r.kind in ("text", "media") for r in rows)
+    urls = {r.doc_id for r in rows}
+    assert urls <= {synth_url(i) for i in ids}
+    media = [r for r in rows if r.kind == "media"]
+    n_media = sum(1 for i in ids if synth_media_for(i) is not None)
+    assert len(media) == n_media
+    # resume works identically on the classifier path
+    s2 = write_warc_run(spark, str(d), base, "r1", model_bytes=model_bytes)
+    assert s2["processed"] == [] and len(s2["skipped"]) == 2
+    assert n200 > 0
