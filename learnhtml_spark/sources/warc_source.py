@@ -358,6 +358,113 @@ def read_warc_dir(spark: SparkSession, directory: str) -> DataFrame:
     return raw.mapInPandas(run, schema=WARC_RECORDS)
 
 
+def warc_cdx(data: bytes, compressed: bool) -> list[tuple[int, int, dict]]:
+    """CDX-style record index: [(offset, length, headers)] where
+    offset/length address the record INSIDE THE FILE AS STORED — for
+    plain ``.warc`` the record's byte span, for ``.warc.gz`` the gzip
+    member's byte span (the CommonCrawl index convention: fetch the
+    member byte range, gunzip, parse one record).  Headers are parsed
+    from the decompressed record; damaged records are skipped (the index
+    is an accelerator — the full scan remains the auditable surface)."""
+    out: list[tuple[int, int, dict]] = []
+    if compressed:
+        import zlib
+
+        pos = 0
+        n = len(data)
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)  # one gzip member
+            try:
+                rec = d.decompress(data[pos:])
+            except zlib.error:
+                break  # trailing garbage: index what we have
+            if not d.eof:
+                break  # truncated final member
+            consumed = n - pos - len(d.unused_data)
+            parsed = parse_warc(rec)
+            if parsed and parsed[0][2] is None:
+                out.append((pos, consumed, parsed[0][0]))
+            pos += consumed
+    else:
+        i, n = 0, len(data)
+        while i < n:
+            j = data.find(b"WARC/", i)
+            if j < 0:
+                break
+            he = data.find(CRLF + CRLF, j)
+            if he < 0:
+                break
+            head = data[j:he].decode("latin-1")
+            hdrs = {}
+            for line in head.split("\r\n")[1:]:
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    hdrs[k.strip().lower()] = v.strip()
+            try:
+                clen = int(hdrs.get("content-length", "0"))
+            except ValueError:
+                clen = 0
+            end = he + 4 + clen
+            if end > n:
+                break
+            out.append((j, end + 4 - j, hdrs))  # include trailing CRLFCRLF
+            i = end
+    return out
+
+
+def fetch_record(path: str, offset: int, length: int) -> tuple[dict, bytes]:
+    """Random access: read one record by its index span — the 100 TB
+    re-fetch path (a single HTTP range request against archive storage
+    instead of a full-archive scan).  Returns (headers, block)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    if path.endswith(".gz"):
+        raw = gzip.decompress(raw)
+    records = parse_warc(raw)
+    if not records or records[0][2] is not None:
+        raise ValueError(f"no valid record at {path}:{offset}+{length}")
+    hdrs, block, _ = records[0]
+    return hdrs, block
+
+
+def read_warc_cdx(spark: SparkSession, directory: str) -> DataFrame:
+    """Archive directory -> CDX index rows (archive, offset, length,
+    warc_type, target_uri).  One task per archive, narrow; the output is
+    the lookup table that makes single-record re-fetches O(1) instead of
+    O(archive)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(directory)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["archive", "offset", "length", "warc_type", "target_uri"]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    idx = warc_cdx(bytes(content), path.endswith(".gz"))
+                except Exception:
+                    continue  # corrupt archive: not indexable
+                rows.extend(
+                    (path, off, ln, h.get("warc-type"),
+                     h.get("warc-target-uri"))
+                    for off, ln, h in idx
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(
+        run,
+        schema=(
+            "archive string, offset long, length long, "
+            "warc_type string, target_uri string"
+        ),
+    )
+
+
 def assemble_interleaved(
     records: list[tuple[dict, bytes, str | None]],
 ) -> tuple[list[tuple[str, list[dict]]], list[tuple[str, str]]]:

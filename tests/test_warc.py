@@ -251,3 +251,49 @@ def test_parse_never_raises_fuzz():
                 assert len(block) == clen
 
     check()
+
+
+def test_cdx_index_and_random_access(spark, tmp_path):
+    # index every record of plain AND gzip-member archives, then fetch
+    # each one by its byte span alone and compare against the full scan
+    ids = [f"c{i}" for i in range(8)]
+    d = tmp_path / "warc"
+    d.mkdir()
+    paths = {}
+    for name, gz in (("a.warc", False), ("b.warc.gz", True)):
+        p = d / name
+        p.write_bytes(build_warc(ids, gz))
+        paths[name] = str(p)
+
+    from learnhtml_spark.sources.warc_source import (
+        fetch_record,
+        read_warc_cdx,
+        warc_cdx,
+    )
+
+    idx_rows = read_warc_cdx(spark, str(d)).collect()
+    by_archive = {}
+    for r in idx_rows:
+        by_archive.setdefault(os.path.basename(r.archive), []).append(r)
+
+    for name, gz in (("a.warc", False), ("b.warc.gz", True)):
+        data = open(paths[name], "rb").read()
+        full = parse_warc(gzip.decompress(data) if gz else data)
+        rows = sorted(by_archive[name], key=lambda r: r.offset)
+        assert len(rows) == len(full)  # every record indexed
+        # spans tile the file exactly (no gaps, no overlaps)
+        assert rows[0].offset == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.offset + a.length == b.offset
+        assert rows[-1].offset + rows[-1].length == len(data)
+        for row, (hdrs, block, err) in zip(rows, full):
+            assert err is None
+            assert row.warc_type == hdrs.get("warc-type")
+            got_hdrs, got_block = fetch_record(
+                paths[name], row.offset, row.length
+            )
+            assert got_hdrs == hdrs and got_block == block
+
+    # the pure function agrees with the distributed reader
+    data = open(paths["a.warc"], "rb").read()
+    assert len(warc_cdx(data, False)) == len(by_archive["a.warc"])
