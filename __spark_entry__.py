@@ -843,6 +843,19 @@ def q_pagerank(spark, sf_dir):
     return pagerank_exact(nodes, _link_edges(spark, sf_dir), iters=6)
 
 
+def q_components(spark, sf_dir):
+    # undirected connected components of the crawl link graph via the
+    # O(log d) large-star/small-star contraction (functions/graph.py:
+    # connected_components — the dup_clusters kernel over arbitrary
+    # edges); oracle = recursive-CTE transitive walk + min label.
+    from learnhtml_spark.functions.graph import connected_components
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    return connected_components(nodes, _link_edges(spark, sf_dir))
+
+
 _LINK_EDGE_SQL = (
     "select doc_id::bigint as src, dst from ("
     "select doc_id, n, unnest([(doc_id::bigint * 7 + 3) % n, "
@@ -851,6 +864,17 @@ _LINK_EDGE_SQL = (
 )
 
 _LINK_NODE_SQL = "select doc_id::bigint as node from documents"
+
+_COMPONENTS_SQL = (
+    f"with recursive e0 as ({_LINK_EDGE_SQL}), "
+    "e as (select distinct least(src, dst) as a, greatest(src, dst) as b "
+    "from e0 where src <> dst), "
+    "und as (select a, b from e union select b as a, a as b from e), "
+    f"n as ({_LINK_NODE_SQL}), "
+    "walk(node, nb) as (select node, node as nb from n "
+    "union select walk.node, und.b from walk join und on und.a = walk.nb) "
+    "select node, min(nb) as component from walk group by node"
+)
 
 
 def _pagerank_oracle_sql():
@@ -1341,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_stream": q_warc_stream,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
+        "components": q_components,
         # -- never driver-attested (new in r5, registered after the cutoff)
         #    or red last round (pack_sequences: oracle-typing fix this round)
         "asof_events": q_asof_events,
@@ -2904,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_stream": _WARC_STREAM_SQL,
         "link_graph": _LINK_EDGE_SQL,
         "pagerank": _pagerank_oracle_sql(),
+        "components": _COMPONENTS_SQL,
         # pdf_spans: Spark runs the real build -> Flate-compress ->
         # inflate -> parse pipeline; the oracle states the expected spans
         # directly since the synthetic content is a pure function of

@@ -142,6 +142,33 @@ def pagerank_exact(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """(node) + (src, dst) -> (node, component): each node labeled with
+    the MINIMUM node id of its connected component (isolated nodes label
+    themselves).  Undirected semantics; self-loops and parallel/reversed
+    duplicates are canonicalized away first.
+
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al. 2014) — O(log d) shuffled rounds vs label propagation's
+    O(diameter), the same battle-tested kernel behind the dedup family's
+    ``dup_clusters`` (functions/dedup.py:_star_contract), exposed here
+    over arbitrary edge lists (e.g. the crawl link graph)."""
+    from learnhtml_spark.functions.dedup import _canon_edges, _star_contract
+
+    canon = _canon_edges(
+        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    )
+    stars, _rounds = _star_contract(canon, max_iter)
+    labels = stars.select(
+        F.col("b").alias("node"), F.col("a").alias("component")
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
 def pagerank_exact_sql(
     edge_sql: str, node_sql: str, d_out: int, iters: int = 6
 ) -> str:

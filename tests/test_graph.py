@@ -71,3 +71,42 @@ def test_float_mass_conserved_with_dangling(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     # the dangling sink collects from everyone — it must rank highest
     assert max(ranks, key=ranks.get) == 3
+
+
+def test_connected_components_vs_union_find(spark):
+    from learnhtml_spark.functions.graph import connected_components
+
+    # several components of varying shape: a chain, a star, a triangle
+    # with a pendant, isolated nodes, self-loops + duplicate edges
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]            # chain 0..9
+        + [(20, x) for x in (21, 22, 23, 24)]        # star at 20
+        + [(30, 31), (31, 32), (32, 30), (32, 33)]   # triangle + pendant
+        + [(40, 40), (20, 21), (21, 20)]             # self-loop + dups
+    )
+    nodes = list(range(0, 10)) + list(range(20, 25)) + list(range(30, 34)) + [
+        40, 50,  # 40 self-loop only, 50 fully isolated
+    ]
+
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == want
