@@ -787,6 +787,44 @@ def q_warc_extract(spark, sf_dir):
     return heuristic_extract_spans(read_warc_docs(spark, out))
 
 
+def q_warc_cdx(spark, sf_dir):
+    # CDX-style archive index (sources/warc_source.py:read_warc_cdx):
+    # per-record byte spans enabling single-record range fetches.  The
+    # byte offsets depend on framing lengths (attested by the pytest
+    # round-trip: spans tile each file exactly, fetch == full scan); the
+    # driver oracle states the full record INVENTORY — every (archive,
+    # warc_type, target_uri) row — from doc_id alone.
+    from learnhtml_spark.sources.warc_source import (
+        read_warc_cdx,
+        synthesize_warc_dir,
+    )
+
+    out = synthesize_warc_dir(sf_dir)
+    idx = read_warc_cdx(spark, out)
+    return idx.select(
+        F.element_at(F.split("archive", "/"), -1).alias("archive"),
+        "warc_type",
+        "target_uri",
+    )
+
+
+_WARC_CDX_SQL = (
+    "with d as (select cast(doc_id as varchar) as doc_id, "
+    "md5(cast(doc_id as varchar) || ':warc') as h from documents), "
+    "o as (select doc_id, h, "
+    "(row_number() over (order by doc_id) - 1) // 100 as fno from d), "
+    "k as (select doc_id, h, 'https://corpus.example/' || doc_id as url, "
+    "'part-' || lpad(cast(fno as varchar), 5, '0') || '.warc' || "
+    "case when fno % 2 = 1 then '.gz' else '' end as archive from o) "
+    "select distinct archive, 'warcinfo' as warc_type, "
+    "cast(null as varchar) as target_uri from k "
+    "union all select archive, 'request', url from k "
+    "union all select archive, 'response', url from k "
+    "union all select archive, 'response', url || '/img.png' from k "
+    "where substr(h,1,1) <> 'f' and substr(h,2,1) < '8'"
+)
+
+
 def q_outlinks(spark, sf_dir):
     # crawl-frontier outlink extraction (functions/links.py): anchors from
     # the REAL parsed DOM of the WARC pages, hrefs resolved per RFC 3986
@@ -1362,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
         "outlinks": q_outlinks,
+        "warc_cdx": q_warc_cdx,
         "warc_stream": q_warc_stream,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
@@ -2926,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         # iterations (functions/graph.py:pagerank_exact_sql) — bit-exact
         # by construction, no float-sum order hazard.
         "outlinks": _OUTLINKS_SQL,
+        "warc_cdx": _WARC_CDX_SQL,
         "warc_stream": _WARC_STREAM_SQL,
         "link_graph": _LINK_EDGE_SQL,
         "pagerank": _pagerank_oracle_sql(),
