@@ -787,6 +787,39 @@ def q_warc_extract(spark, sf_dir):
     return heuristic_extract_spans(read_warc_docs(spark, out))
 
 
+def q_nfc_normalize(spark, sf_dir):
+    # Unicode NFC normalization (functions/textstats.py:normalize_docs):
+    # combining sequences are planted deterministically (Spark ships the
+    # decomposed literal; DuckDB builds it with codepoint chr()) so the
+    # oracle attests real normalization work — Spark's side is CPython
+    # unicodedata in one Arrow batch pass, the oracle's is DuckDB's own
+    # nfc_normalize, two independent Unicode implementations agreeing.
+    from learnhtml_spark.functions.textstats import normalize_docs
+
+    plant = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Café"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" Äpfel"))
+        .otherwise(F.lit(""))
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("text"), plant).alias("text"),
+    )
+    return normalize_docs(d)
+
+
+_NFC_SQL = (
+    "with t as (select doc_id::bigint as doc_id, text || "
+    "case when doc_id % 3 = 0 then ' Cafe' || chr(769) "
+    "when doc_id % 3 = 1 then ' A' || chr(776) || 'pfel' "
+    "else '' end as raw from documents) "
+    "select doc_id, nfc_normalize(raw) as text_norm, "
+    "nfc_normalize(raw) <> raw as changed, "
+    "length(raw)::bigint as n_chars_raw, "
+    "length(nfc_normalize(raw))::bigint as n_chars_norm from t"
+)
+
+
 def q_warc_cdx(spark, sf_dir):
     # CDX-style archive index (sources/warc_source.py:read_warc_cdx):
     # per-record byte spans enabling single-record range fetches.  The
@@ -1400,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
         "outlinks": q_outlinks,
+        "nfc_normalize": q_nfc_normalize,
         "warc_cdx": q_warc_cdx,
         "warc_stream": q_warc_stream,
         "link_graph": q_link_graph,
@@ -2965,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         # iterations (functions/graph.py:pagerank_exact_sql) — bit-exact
         # by construction, no float-sum order hazard.
         "outlinks": _OUTLINKS_SQL,
+        "nfc_normalize": _NFC_SQL,
         "warc_cdx": _WARC_CDX_SQL,
         "warc_stream": _WARC_STREAM_SQL,
         "link_graph": _LINK_EDGE_SQL,

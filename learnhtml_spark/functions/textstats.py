@@ -372,3 +372,46 @@ def quality_gate(
         viol.alias("first_violation"),
         (viol == "").alias("keep"),
     )
+
+
+def normalize_docs(docs: DataFrame, form: str = "NFC") -> DataFrame:
+    """Unicode normalization pass (CCNet-style preprocessing: crawled
+    text mixes precomposed and combining-sequence spellings of the same
+    grapheme, which breaks exact dedup and tokenizer vocab lookups).
+
+    -> (doc_id, text_norm, changed, n_chars_raw, n_chars_norm).
+
+    Spark has no built-in Unicode normalizer, so this is one
+    Arrow-batched mapInPandas over the text column (vectorized
+    ``unicodedata.normalize`` per batch) — narrow, zero shuffles; the
+    DuckDB oracle side is ``nfc_normalize`` (verified codepoint-exact
+    against CPython's unicodedata)."""
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].fillna("")
+            norm = raw.map(lambda s: unicodedata.normalize(form, s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_norm": norm,
+                    "changed": norm != raw,
+                    "n_chars_raw": raw.str.len().astype("int64"),
+                    "n_chars_norm": norm.str.len().astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, text_norm string, changed boolean, "
+            "n_chars_raw long, n_chars_norm long"
+        ),
+    )
