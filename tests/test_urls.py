@@ -74,3 +74,26 @@ def test_dedup_groups(spark):
     assert (a.n_variants, a.n_spellings) == (3, 3)
     assert a.keeper_url == "HTTP://A.EXAMPLE/p?x=1&y=2"  # bytewise min
     assert rows["http://b.example/q"].n_variants == 1
+
+
+def test_normalize_docs_forms(spark):
+    from learnhtml_spark.functions.textstats import normalize_docs
+
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "Café"), (3, "ﬁne"), (4, None)],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r for r in normalize_docs(df, "NFC").collect()}
+    assert nfc[1].text_norm == "Café" and nfc[1].changed
+    assert nfc[2].text_norm == "Café" and not nfc[2].changed
+    assert (nfc[1].n_chars_raw, nfc[1].n_chars_norm) == (5, 4)
+    # NFC leaves compatibility ligatures alone; NFKC folds them
+    assert nfc[3].text_norm == "ﬁne" and not nfc[3].changed
+    nfkc = {r.doc_id: r for r in normalize_docs(df, "NFKC").collect()}
+    assert nfkc[3].text_norm == "fine" and nfkc[3].changed
+    assert nfc[4].text_norm == "" and not nfc[4].changed  # NULL-safe
+
+    import pytest
+
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_docs(df, "NFX")
