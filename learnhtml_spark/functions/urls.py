@@ -45,6 +45,16 @@ def canonical_url(url: Column) -> Column:
       ``&&`` runs dropped, ``?`` dropped when the query is empty;
     - fragment dropped (never sent to the server).
 
+    Deliberately NOT applied (documented scope, not an oversight):
+    path dot-segment removal and percent-encoding normalization
+    (§6.2.2.2/.3).  Both are iterative/character-class rewrites that a
+    pure column expression cannot express; crawl URLs arrive ALREADY
+    resolved (the fetcher resolved references before requesting — see
+    ``functions/links.py``, whose urljoin removes dot segments), so in
+    the dedup position this canonicalizer sits behind, those spellings
+    do not occur.  If an un-resolved feed must be canonicalized, resolve
+    through ``links.doc_outlinks``'s urljoin first.
+
     Pure column expression — safe in a scan projection at any scale.
     """
     scheme = F.lower(F.regexp_extract(url, _RE_SCHEME, 1))

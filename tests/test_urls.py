@@ -97,3 +97,14 @@ def test_normalize_docs_forms(spark):
 
     with pytest.raises(ValueError, match="normalization form"):
         normalize_docs(df, "NFX")
+
+
+def test_documented_scope(spark):
+    # dot segments and percent-encodings pass through UNCHANGED — the
+    # documented contract (crawl URLs arrive fetcher-resolved; see the
+    # canonical_url docstring).  This test pins the behavior so a future
+    # change is a conscious one.
+    assert _canon(spark, ["http://x.example/a/../b", "http://x.example/%7Eu"]) == [
+        "http://x.example/a/../b",
+        "http://x.example/%7Eu",
+    ]
