@@ -69,6 +69,9 @@ NOTES = {
     "url_canon": "pure JVM canonicalization exprs inside the scan projection, zero exchanges",
     "url_dedup": "canonicalize in-projection -> ONE hash aggregate on the canonical key (map-side partial agg)",
     "link_graph": "edge derivation: broadcast one-row count cross join -> narrow modular exprs + explode",
+    "components": "connected components via large-star/small-star contraction (plan shown reads the converged star labels off localCheckpoint blocks; each round = 2 aggs + 2 joins on the shrinking edge list)",
+    "nfc_normalize": "pure narrow plan: scan -> ONE Arrow-batched mapInPandas (unicodedata), zero exchanges",
+    "warc_cdx": "binaryFile listing fan-out -> ONE mapInPandas (member/record span index), narrow",
     "warc_stream": "plan shown is the batch read of the stream's parquet sink; the streaming plan is binaryFile source -> fused per-archive kernel -> sink (stateless, checkpoint = processed-archive manifest)",
     "pagerank": "6 integer-exact rounds, each ONE equi-join (ranks on src, AQE-sided) + ONE hash aggregate; localCheckpoint truncates lineage (plan shown reads the converged checkpoint blocks)",
 }
