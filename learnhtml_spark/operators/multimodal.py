@@ -159,6 +159,12 @@ def decode_wav(payload: bytes):
 
 def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Deterministic nearest-neighbor resize (the codec-free 'resize' op)."""
+    if px.shape[0] == out_h and px.shape[1] == out_w:
+        # identity mapping: linspace(0, n-1, n).round() is 0..n-1, so the
+        # fancy-index below would be a no-op copy — skip its ~30 us of
+        # per-call numpy overhead (the media corpus is 8x8 thumbnails of
+        # 8x8 sources, so this is the common path)
+        return px
     ys = np.linspace(0, px.shape[0] - 1, out_h).round().astype(int)
     xs = np.linspace(0, px.shape[1] - 1, out_w).round().astype(int)
     return px[np.ix_(ys, xs)]
@@ -174,10 +180,26 @@ def audio_envelope32(samples: np.ndarray) -> bytes:
     """32-segment RMS envelope scaled to uint8 (32 bytes) — a fixed-size
     'frame sample' of arbitrary-length audio."""
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples
-    if len(mono) == 0:
+    n = len(mono)
+    if n == 0:
         return bytes(32)
-    segs = np.array_split(mono.astype(np.float64), 32)
-    rms = np.array([np.sqrt((s * s).mean()) if len(s) else 0.0 for s in segs])
+    # one reduceat over the squared stream instead of 32 per-segment
+    # numpy calls (array_split + 32x mul/mean/sqrt dispatch was ~36% of
+    # the media_features kernel); segment boundaries replicate
+    # np.array_split exactly (first n%32 segments get one extra sample),
+    # byte-equality with the per-segment form fuzz-verified across the
+    # synthetic WAV space and random lengths/shapes
+    sq = mono.astype(np.float64)
+    sq = sq * sq
+    base, extra = divmod(n, 32)
+    sizes = np.full(32, base, dtype=np.int64)
+    sizes[:extra] += 1
+    rms = np.zeros(32)
+    nonempty = sizes > 0
+    starts = np.zeros(32, dtype=np.int64)
+    starts[1:] = np.cumsum(sizes)[:-1]
+    sums = np.add.reduceat(sq, starts[nonempty])
+    rms[nonempty] = np.sqrt(sums / sizes[nonempty])
     return np.clip(rms * 255.0, 0, 255).astype(np.uint8).tobytes()
 
 
