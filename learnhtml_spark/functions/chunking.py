@@ -440,13 +440,16 @@ def fuzzy_decontaminate(
     # so the corpus is exploded exactly once (the overlap branch below);
     # a groupBy-count over corpus_sh here would shingle the corpus a
     # second time (Catalyst does not CSE subtrees across aggregates)
-    from learnhtml_spark.functions.dedup import _shingle_array
+    from learnhtml_spark.functions.dedup import _with_shingles
 
     n_grams = (
-        docs.join(F.broadcast(eval_ids), "doc_id", "left_anti")
-        .select(
-            "doc_id", F.size(_shingle_array(docs, k)).alias("n_grams")
+        _with_shingles(
+            docs.join(F.broadcast(eval_ids), "doc_id", "left_anti"),
+            k,
+            ("doc_id",),
+            "_sh",
         )
+        .select("doc_id", F.size("_sh").alias("n_grams"))
         .filter(F.col("n_grams") > 0)
     )
     ov = (

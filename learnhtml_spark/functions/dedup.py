@@ -188,8 +188,8 @@ def source_overlap(docs: DataFrame, k: int = 3) -> DataFrame:
     band join this is deliberately not).  The per-source counts table is
     ``n_sources`` rows — genuinely broadcast-sized at any corpus scale.
     Output is at most ``n_sources²/2`` rows."""
-    sh = docs.select(
-        "source", F.explode(_shingle_array(docs, k)).alias("shingle")
+    sh = _with_shingles(docs, k, ("source",), "_sh").select(
+        "source", F.explode("_sh").alias("shingle")
     ).distinct()
     per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
@@ -224,8 +224,10 @@ def source_overlap(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _shingle_array(docs: DataFrame, k: int = 3):
-    """Column expr: distinct word k-gram shingles of ``text`` (array).
+def _shingle_array_of(toks, k: int = 3):
+    """Column expr: distinct word k-gram shingles over a TOKEN-ARRAY
+    column (``_with_shingles`` materializes the tokens first so the
+    regex split runs once per row — see that helper's note).
 
     Built from ``k`` shifted slices zipped together rather than a
     ``transform`` over positions with ``element_at(toks, i+j)`` lambdas:
@@ -233,9 +235,7 @@ def _shingle_array(docs: DataFrame, k: int = 3):
     text per element reference (no common-subexpression elimination
     inside higher-order functions), which made shingling O(words²·k)
     regex splits per document — measured 19 s for 5,000 small docs at
-    sf0.1, ~25× the slice form.  The slice form references the token
-    array only k+2 times total and emits the identical gram set."""
-    toks = tokens(F.lower(F.col("text")))
+    sf0.1, ~25× the slice form."""
     n = F.size(toks)
     parts = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
     grams = parts[0]
@@ -250,10 +250,35 @@ def _shingle_array(docs: DataFrame, k: int = 3):
     return F.array_distinct(F.filter(grams, lambda s: F.trim(s) != F.lit("")))
 
 
+def _shingle_array(docs: DataFrame, k: int = 3):
+    """Column expr: distinct word k-gram shingles of ``text`` (array) —
+    single-projection form for callers that need the expression inline.
+    Prefer ``_with_shingles`` on hot paths: embedding the tokenizer here
+    makes the projection reference ``split(text)`` k+2 times and Spark
+    does not CSE it (measured ~35% slower than tokenizing in a prior
+    projection)."""
+    return _shingle_array_of(tokens(F.lower(F.col("text"))), k)
+
+
+def _with_shingles(docs: DataFrame, k: int, cols: tuple[str, ...], out: str):
+    """``docs`` projected to ``cols`` + the shingle array as ``out``,
+    with the token array materialized in a PRIOR projection so the regex
+    split of ``text`` is evaluated once per row instead of k+2 times
+    (Catalyst's CollapseProject deliberately keeps the two projections
+    separate because merging would duplicate the non-cheap split —
+    measured ~35% faster at sf0.1, identical gram arrays)."""
+    base = docs.select(
+        *cols, tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    return base.select(
+        *cols, _shingle_array_of(F.col("_toks"), k).alias(out)
+    )
+
+
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word k-gram shingles per document."""
-    return docs.select(
-        "doc_id", F.explode(_shingle_array(docs, k)).alias("shingle")
+    return _with_shingles(docs, k, ("doc_id",), "_sh").select(
+        "doc_id", F.explode("_sh").alias("shingle")
     )
 
 
@@ -277,8 +302,8 @@ def ngram_jaccard_pairs(
     table can never be pinned in memory."""
     from pyspark.sql import Window
 
-    sizes = docs.select(
-        "doc_id", F.size(_shingle_array(docs, k)).alias("n_sh")
+    sizes = _with_shingles(docs, k, ("doc_id",), "_sh").select(
+        "doc_id", F.size("_sh").alias("n_sh")
     )
     sh = shingles(docs, k)
     sh_f = (
@@ -461,19 +486,23 @@ def neardup_groups(
     deliberately not the transitive closure).
 
     O(m) per band group, never O(m²): each group is collapsed to its min
-    doc_id by ONE map-side-combined aggregate, the group min is joined
-    back to the band rows on the same (band, band_sig) key (exchange
-    reused), and the per-doc verdict is a min over the doc's n_bands
+    doc_id by a window min over the band rows — ONE exchange, where the
+    old aggregate + join-back on (band, band_sig) shuffled the same band
+    rows twice — and the per-doc verdict is a min over the doc's n_bands
     edges.  A 10^6-page identical cluster costs 10^6·n_bands rows — no
     pair blowup, no cap needed, which is why this is the form a 100 TB
     dedup run actually executes (``minhash_lsh_candidates`` remains the
     pair-output oracle/verification form)."""
+    from pyspark.sql import Window
+
     bands = lsh_band_rows(docs, num_hashes, band_size, k)
-    grp_min = bands.groupBy("band", "band_sig").agg(
-        F.min("doc_id").alias("grp_min")
-    )
     return (
-        bands.join(grp_min, ["band", "band_sig"])
+        bands.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy("band", "band_sig"))
+            .alias("grp_min"),
+        )
         .groupBy("doc_id")
         .agg(F.min("grp_min").alias("keep_doc_id"))
         .select(
@@ -526,12 +555,20 @@ def _canon_edges(df: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al. 2014): every node u connects each
     STRICTLY LARGER neighbor to m(u) = min(Gamma(u) + {u}).  Needs the
-    full neighborhood per node, so the canonical list is doubled first."""
+    full neighborhood per node, so the canonical list is doubled first.
+
+    m(u) is a min window partitioned by the node instead of the old
+    aggregate + self-join: the doubled edge list crosses the network ONCE
+    (the window's exchange) rather than twice (agg shuffle + join shuffle
+    of the same rows), and the per-round plan loses one Exchange.  Same
+    groups, same min — identical output set (guide §2.3/§2.4)."""
+    from pyspark.sql import Window
+
     und = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    nmin = und.groupBy("a").agg(F.min("b").alias("nmin"))
-    ann = und.join(nmin, "a").withColumn("m", F.least("a", "nmin"))
+    nmin = F.min("b").over(Window.partitionBy("a"))
+    ann = und.withColumn("m", F.least(F.col("a"), nmin))
     return _canon_edges(
         ann.filter(F.col("b") > F.col("a")).select(
             F.col("b").alias("x"), F.col("m").alias("y")
@@ -543,14 +580,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: every node u connects its SMALLER-OR-EQUAL
     neighborhood (plus itself) to that set's minimum.  In canonical
     (a < b) form a node's smaller neighbors are exactly its a-sides, so
-    no doubling is needed — one aggregate + one join."""
-    gmin = edges.groupBy("b").agg(F.min("a").alias("m"))
-    ann = edges.join(gmin, "b")
+    no doubling is needed.
+
+    Window-min like ``_large_star`` (one exchange instead of agg+join's
+    two).  The center self-edge (b, m) is emitted once per EDGE rather
+    than once per group — the canonicalizing ``distinct`` immediately
+    below collapses them, so the output set is unchanged and no separate
+    one-row-per-group table (and its join) is needed."""
+    from pyspark.sql import Window
+
+    ann = edges.withColumn("m", F.min("a").over(Window.partitionBy("b")))
     out = (
         ann.filter(F.col("a") != F.col("m"))
         .select(F.col("a").alias("x"), F.col("m").alias("y"))
         .unionByName(
-            gmin.select(F.col("b").alias("x"), F.col("m").alias("y"))
+            ann.select(F.col("b").alias("x"), F.col("m").alias("y"))
         )
     )
     return _canon_edges(out)
@@ -565,13 +609,25 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     contract on ``max_iter`` exhaustion.  Returns (star_edges, rounds);
     at the fixed point every edge is (component_min, member).
 
-    Each round is two shuffled aggregates + two shuffled joins,
-    ``localCheckpoint`` so the plan stays O(1) deep; convergence is
-    checked PER OPERATOR (the paper's criterion: a fixed point of both
-    large-star and small-star is a disjoint union of min-centered stars)
-    via a (count, double-seeded xxhash64 bit_xor) edge-set signature —
-    the edge lists are canonical and distinct, so signature equality is
-    set equality up to a ~2^-128 hash collision (xor, not sum: ANSI mode
+    Round economics (optimization round, guide §1-§2): each round is ONE
+    fused small∘large plan behind a LAZY ``localCheckpoint`` whose
+    materialization is triggered by the signature aggregate itself — one
+    driver-synchronized job per round instead of the previous four (two
+    eager checkpoints + two signature collects), and the window-min form
+    of the star operators (see ``_large_star``) drops one Exchange per
+    operator.  Convergence is detected on the composition (signature
+    unchanged across a full round == the edge set is a fixed point of
+    small∘large) and then VERIFIED per operator with one extra aggregate:
+    large_star(E) == E together with small(large(E)) == E implies
+    small(E) == E, so the returned set satisfies the paper's criterion —
+    a fixed point of BOTH operators, i.e. a disjoint union of
+    min-centered stars — exactly as the split-check loop did, on the
+    identical L,S,L,S operator trajectory (same sets, same rounds, same
+    max_iter failure condition).
+
+    Signatures are (count, double-seeded xxhash64 bit_xor) — the edge
+    lists are canonical and distinct, so signature equality is set
+    equality up to a ~2^-128 hash collision (xor, not sum: ANSI mode
     makes a 64-bit hash sum overflow loudly)."""
 
     def _sig(e: DataFrame):
@@ -582,17 +638,18 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         ).collect()[0]
         return (row["n"], row["h1"], row["h2"])
 
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     prev = _sig(edges)
     if prev[0] == 0:
         return edges, 0
     for rounds in range(1, max_iter + 1):
-        e1 = _large_star(edges).localCheckpoint(eager=True)
-        s1 = _sig(e1)
-        edges = _small_star(e1).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _sig(edges)
-        if s1 == prev and cur == s1:
-            return edges, rounds
+        if cur == prev:
+            # fixed point of the composition; one cheap aggregate confirms
+            # large-star alone also fixes it (=> small-star does too)
+            if _sig(_large_star(edges)) == cur:
+                return edges, rounds
         prev = cur
     # silently returning partial contraction would split one transitive
     # component into several with no signal — fail loudly instead
@@ -630,17 +687,22 @@ def dup_clusters(
     one-hop keeper: collapsing a doc's bands to one keeper loses the
     co-membership of a group's own min member (G={B,X} with X's global
     keeper A<B would leave B edgeless), which breaks transitivity."""
-    # the minhash signature is computed ONCE (bands checkpointed); edges
-    # and nodes derive from materialized blocks
+    from pyspark.sql import Window
+
+    # the minhash signature is computed ONCE (bands checkpointed lazily —
+    # the first downstream job materializes it); edges and nodes derive
+    # from the materialized blocks.  grp_min is a window min over the
+    # band rows (one exchange) instead of an aggregate joined back on the
+    # same key (two exchanges of the band rows) — same groups, same min.
     bands = lsh_band_rows(docs, num_hashes, band_size, k).localCheckpoint(
-        eager=True
-    )
-    grp_min = bands.groupBy("band", "band_sig").agg(
-        F.min("doc_id").alias("grp_min")
+        eager=False
     )
     edges = _canon_edges(
-        bands.join(grp_min, ["band", "band_sig"]).select(
-            F.col("doc_id").alias("x"), F.col("grp_min").alias("y")
+        bands.select(
+            F.col("doc_id").alias("x"),
+            F.min("doc_id")
+            .over(Window.partitionBy("band", "band_sig"))
+            .alias("y"),
         )
     )
     stars, _ = _star_contract(edges, max_iter)
@@ -886,7 +948,9 @@ def neardup_pairs(
     side when it fits; per-doc shingle counts come narrow, pre-explode."""
     cand = minhash_lsh_candidates(docs, num_hashes, band_size, k, max_band_group)
     sh = shingles(docs, k)
-    sizes = docs.select("doc_id", F.size(_shingle_array(docs, k)).alias("n_sh"))
+    sizes = _with_shingles(docs, k, ("doc_id",), "_sh").select(
+        "doc_id", F.size("_sh").alias("n_sh")
+    )
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(

@@ -36,14 +36,44 @@ def tokens(col) -> Column:
 def with_token_stats(docs: DataFrame) -> DataFrame:
     """token_count, avg word length, punctuation & whitespace ratios,
     stopword ratio — the quality-scoring feature set."""
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    text_len = F.length("text")
-    punct = text_len - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
-    spaces = text_len - F.length(F.regexp_replace("text", r"\s", ""))
+    # the tokenizer split and the two regexp_replace passes are each
+    # referenced several times by the ratio expressions below; a single
+    # projection would re-evaluate them per reference (Catalyst does not
+    # CSE non-cheap expressions within a Project), so the expensive
+    # scalars are materialized in a FIRST projection and the ratios
+    # computed from plain column refs in a second — identical values
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    return docs.select(
+    pre = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens(F.col("text")).alias("_toks"),
+        F.length("text").alias("_text_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).alias("_punct"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"\s", ""))
+        ).alias("_spaces"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("_toks").alias("_n_tok"),
+        "_text_len",
+        "_punct",
+        "_spaces",
+        F.size(
+            F.filter("_toks", lambda t: F.array_contains(stop_arr, F.lower(t)))
+        ).alias("_n_stop"),
+    )
+    n_tok = F.col("_n_tok")
+    text_len = F.col("_text_len")
+    punct = F.col("_punct")
+    spaces = F.col("_spaces")
+    n_stop = F.col("_n_stop")
+    return pre.select(
         "doc_id",
         "lang",
         "source",
@@ -81,13 +111,22 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language guess; 'unknown' when no stopwords hit.
     Deterministic tie-break by language code order."""
-    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    # lowered token array materialized once; scoring it per language in
+    # the same projection would re-run the tokenizer split per language
+    # (no CSE of non-cheap exprs within a Project)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(tokens(F.col("text")), lambda t: F.lower(t)).alias(
+            "_toks"
+        ),
+    )
 
     def _score(ws):
         arr = F.array(*[F.lit(w) for w in ws])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        return F.size(F.filter("_toks", lambda t: F.array_contains(arr, t)))
 
-    scored = docs.select(
+    scored = base.select(
         "doc_id",
         "lang",
         *[_score(ws).alias(f"score_{code}") for code, ws in STOPWORDS.items()],
@@ -120,11 +159,16 @@ def fingerprint(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     text (kernel F1-style normalization, exact-dup key).  ``keep`` names
     extra input columns to carry through (so callers never re-derive the
     normalization and drift)."""
+    # the normalization (trim + regexp_replace + lower) is referenced by
+    # both fp and norm_len — materialize it once in a prior projection so
+    # the regexp pass runs once per row, not twice
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select(
+        "doc_id", norm.alias("_norm"), *[F.col(c) for c in keep]
+    ).select(
         "doc_id",
-        F.md5(norm).alias("fp"),
-        F.length(norm).cast("long").alias("norm_len"),
+        F.md5("_norm").alias("fp"),
+        F.length("_norm").cast("long").alias("norm_len"),
         *[F.col(c) for c in keep],
     )
 

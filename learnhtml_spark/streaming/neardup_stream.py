@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from learnhtml_spark.functions.dedup import _MH_P, _mh_constants, _shingle_array
+from learnhtml_spark.functions.dedup import (
+    _MH_P,
+    _mh_constants,
+    _shingle_array_of,
+)
+from learnhtml_spark.functions.textstats import tokens
 
 
 def band_signatures_narrow(
@@ -64,8 +69,14 @@ def band_signatures_narrow(
     n_bands = num_hashes // band_size
     A, B = _mh_constants(num_hashes)
 
+    # tokens materialized in a prior projection so the regex split runs
+    # once per row (the batch `_with_shingles` rationale; streaming-safe —
+    # it is just a narrow projection chain)
+    docs = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
     h_arr = F.transform(
-        _shingle_array(docs, k),
+        _shingle_array_of(F.col("_toks"), k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
     init = F.array(*[F.lit(_MH_P).cast("long") for _ in range(num_hashes)])
