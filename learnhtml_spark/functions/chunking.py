@@ -204,7 +204,12 @@ def decontaminate(
     rows BEFORE shingling (ADVICE r4: joining after ``shingles`` shingled
     the full corpus twice — Spark cannot push an equi-join below the
     explode, so the filter must sit on the base table)."""
-    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    # eval_ids is broadcast into several branches below; checkpoint it
+    # lazily so the corpus-wide orderBy+limit scan runs once, not per use
+    eval_ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+        .localCheckpoint(eager=False)
+    )
     eval_docs = docs.join(F.broadcast(eval_ids), "doc_id")
     eval_grams = shingles(eval_docs, k).select("shingle").distinct()
     corpus_sh = shingles(docs, k).join(F.broadcast(eval_ids), "doc_id", "left_anti")
@@ -294,7 +299,12 @@ def bloom_decontaminate(
         eval_ids = None
         corpus_sh = shingles(docs, k)
     else:
-        eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+        # eval_ids is broadcast into several branches below; checkpoint it
+        # lazily so the corpus-wide orderBy+limit scan runs once, not per use
+        eval_ids = (
+            docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+            .localCheckpoint(eager=False)
+        )
         eval_grams = (
             shingles(docs.join(F.broadcast(eval_ids), "doc_id"), k)
             .select("shingle")
@@ -425,7 +435,12 @@ def fuzzy_decontaminate(
     Tie-break: at equal containment the smallest eval_id wins (struct
     min over (-overlap, eval_id) — overlap ties are containment ties,
     n_grams being per-doc constant)."""
-    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    # eval_ids is broadcast into several branches below; checkpoint it
+    # lazily so the corpus-wide orderBy+limit scan runs once, not per use
+    eval_ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+        .localCheckpoint(eager=False)
+    )
     eval_docs = docs.join(F.broadcast(eval_ids), "doc_id")
     eval_grams = (
         shingles(eval_docs, k)
@@ -503,7 +518,12 @@ def contamination_report(
     the number of eval docs containing that gram (<= eval_n).  Eval
     items with zero leakage are restored by a left join (a clean
     benchmark must appear as an explicit zero row)."""
-    eval_ids = docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+    # eval_ids is broadcast into several branches below; checkpoint it
+    # lazily so the corpus-wide orderBy+limit scan runs once, not per use
+    eval_ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(eval_n)
+        .localCheckpoint(eager=False)
+    )
     eval_docs = docs.join(F.broadcast(eval_ids), "doc_id")
     eg = shingles(eval_docs, k).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"

@@ -466,6 +466,10 @@ def minhash_lsh_candidates(
             .filter(F.col("_m") <= max_band_group)
             .drop("_m")
         )
+    # NOTE (r7, measured): a localCheckpoint here is a net LOSS (A/B at
+    # sf0.1: ~4.1s vs ~3.1s median without) — the band table recompute is
+    # cheaper than its materialization + the statistics loss it causes
+    # downstream, unlike the simhash signature below which is reused 3x.
     a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -877,7 +881,13 @@ def simhash_neardup(
     from pyspark.sql import Window
 
     w = bits // n_blocks
-    sig = simhash(docs, bits)
+    # the signature table is consumed THREE times (block explode + both
+    # verify sides) and Catalyst does not share the aggregate subtree
+    # across joins — without this checkpoint the corpus was tokenized,
+    # hashed and vote-aggregated four times per run (8 parquet scans in
+    # the before-plan, 0 ReusedExchange).  Per-doc rows, far smaller
+    # than the corpus text; lazy — first downstream job materializes.
+    sig = simhash(docs, bits).localCheckpoint(eager=False)
     blocks = sig.select(
         "doc_id",
         F.explode(
@@ -900,6 +910,8 @@ def simhash_neardup(
         )
         .filter(F.col("_m") <= max_block_group)
         .drop("_m")
+        # consumed by both self-join sides below; n_blocks rows per doc
+        .localCheckpoint(eager=False)
     )
     a = blocks.select("blk", "val", F.col("doc_id").alias("doc_a"))
     b = blocks.select("blk", "val", F.col("doc_id").alias("doc_b"))

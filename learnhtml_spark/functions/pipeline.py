@@ -50,10 +50,18 @@ def corpus_build(
     aggregates, keeper-edge O(m)-per-group LSH, broadcast eval grams),
     then three doc_id equi-joins — high-cardinality key, AQE-sized,
     no windows over low-cardinality groups anywhere."""
-    fp = fingerprint(docs)
-    grp = fp.groupBy("fp").agg(F.min("doc_id").alias("_keep"))
-    ex = fp.join(grp, "fp").select(
-        "doc_id", (F.col("doc_id") == F.col("_keep")).alias("is_exact_keeper")
+    from pyspark.sql import Window
+
+    # exact-keeper verdict as a window min over the fingerprint rows —
+    # ONE exchange and one normalization pass, where the old aggregate +
+    # join-back recomputed fingerprint() for the probe side (Catalyst
+    # shares no subtrees across joins) and shuffled it twice
+    ex = fingerprint(docs).select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("is_exact_keeper"),
     )
     nd = neardup_groups(docs, num_hashes, band_size, k_shingle).select(
         "doc_id", "is_duplicate"
