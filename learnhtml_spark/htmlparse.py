@@ -53,7 +53,10 @@ PI = _Sentinel("ProcessingInstruction")
 class Element:
     """Minimal lxml-compatible element: tag/attrib/text/tail + tree nav."""
 
-    __slots__ = ("tag", "attrib", "text", "tail", "_children", "_parent", "srcpos")
+    __slots__ = (
+        "tag", "attrib", "text", "tail", "_children", "_parent", "srcpos",
+        "_path",
+    )
 
     def __init__(self, tag, attrib=None, srcpos=-1):
         self.tag = tag
@@ -65,6 +68,9 @@ class Element:
         #: char offset of the start tag in the source document (-1 when the
         #: element is implied); used to map blocks back to input spans
         self.srcpos = srcpos
+        #: memoized getpath() result (trees are read-only once parsed; the
+        #: serving path asks for block paths twice per node — see getpath)
+        self._path = None
 
     # -- tree navigation (lxml surface used by the kernels) ---------------
     def getparent(self):
@@ -128,9 +134,22 @@ class Element:
 def getpath(node: Element) -> str:
     """lxml-style absolute XPath: '/html/body/div[2]/p'.  The positional
     predicate is included only when the node has same-tag element siblings
-    (same rule lxml's ElementTree.getpath applies)."""
-    parts = []
-    while node is not None:
+    (same rule lxml's ElementTree.getpath applies).
+
+    Memoized on the element (``_path`` slot): trees are read-only once the
+    parser returns, and the serving path requests each block-start node's
+    path twice (block mapping + feature frame) while siblings share every
+    ancestor prefix — the cache turns the O(depth × siblings) walk per
+    call into amortized O(own siblings).  Callers that mutate a tree
+    AFTER asking for paths would see stale positional predicates; nothing
+    in the repo does (parse → read only)."""
+    anc = []
+    top = node
+    while top is not None and top._path is None:
+        anc.append(top)
+        top = top._parent
+    prefix = top._path if top is not None else ""
+    for node in reversed(anc):
         parent = node._parent
         tag = node.tag
         if isinstance(tag, str):
@@ -149,9 +168,9 @@ def getpath(node: Element) -> str:
                     break
                 idx += 1
             step = f"{step}[{idx}]"
-        parts.append(step)
-        node = parent
-    return "/" + "/".join(reversed(parts))
+        prefix = f"{prefix}/{step}"
+        node._path = prefix
+    return prefix
 
 
 # ---------------------------------------------------------------------------

@@ -91,9 +91,13 @@ def featurize_frame(df: pd.DataFrame):
     rows: list[int] = []
     slots: list[int] = []
     for col in _string_columns(df):
-        values = df[col].fillna("").astype(str).tolist()
+        # values are strings or missing by construction; the isinstance
+        # guard replaces fillna("")+astype(str) (two pandas passes per
+        # column) with one list pass — identical values
+        values = df[col].tolist()
+        vs = _value_slots
         for i, v in enumerate(values):
-            ss = _value_slots(col, v)
+            ss = vs(col, v if isinstance(v, str) else "")
             if ss:
                 rows.extend([i] * len(ss))
                 slots.extend(ss)
