@@ -417,7 +417,14 @@ def q_dedup_stream(spark, sf_dir):
     def sink(batch_df, batch_id):
         batch_df.write.mode("append").parquet(outdir)
 
-    with _state_partitions(spark, 16):
+    # state stores sized to the replay machine (defaultParallelism =
+    # cores at full-bench level) instead of a constant 16: r7 A/B at
+    # sf0.1 local[32] measured 32 stores at 3.0-3.6s vs 16 at 3.5-5.2s
+    # vs 8 at 4.4-4.8s (half the cores sat idle through the python
+    # state stage at 16); r4's 64-store regression came from 64 > cores
+    # commit overhead, which a cores-sized count cannot reproduce.
+    # Verdicts are per-group mins - partition-count independent.
+    with _state_partitions(spark, spark.sparkContext.defaultParallelism):
         q = (
             streaming_exact_dedup(stream)
             .writeStream.foreachBatch(sink)
@@ -489,7 +496,14 @@ def q_neardup_stream(spark, sf_dir):
             )
         neardup_verdicts(batch_df).write.mode("append").parquet(outdir)
 
-    with _state_partitions(spark, 16):
+    # state stores sized to the replay machine (defaultParallelism =
+    # cores at full-bench level) instead of a constant 16: r7 A/B at
+    # sf0.1 local[32] measured 32 stores at 3.0-3.6s vs 16 at 3.5-5.2s
+    # vs 8 at 4.4-4.8s (half the cores sat idle through the python
+    # state stage at 16); r4's 64-store regression came from 64 > cores
+    # commit overhead, which a cores-sized count cannot reproduce.
+    # Verdicts are per-group mins - partition-count independent.
+    with _state_partitions(spark, spark.sparkContext.defaultParallelism):
         q = (
             streaming_neardup_bands(stream)
             .writeStream.foreachBatch(sink)

@@ -188,9 +188,15 @@ def source_overlap(docs: DataFrame, k: int = 3) -> DataFrame:
     band join this is deliberately not).  The per-source counts table is
     ``n_sources`` rows — genuinely broadcast-sized at any corpus scale.
     Output is at most ``n_sources²/2`` rows."""
-    sh = _with_shingles(docs, k, ("source",), "_sh").select(
-        "source", F.explode("_sh").alias("shingle")
-    ).distinct()
+    sh = (
+        _with_shingles(docs, k, ("source",), "_sh")
+        .select("source", F.explode("_sh").alias("shingle"))
+        .distinct()
+        # consumed three times (per-source counts + both join sides);
+        # checkpointing the distinct (source, shingle) projection avoids
+        # shingling the corpus three times (A/B r7: ~1.87 -> ~1.74s)
+        .localCheckpoint(eager=False)
+    )
     per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")
@@ -1168,6 +1174,9 @@ def exact_substr_dedup(docs: DataFrame, window: int = 50) -> DataFrame:
     base = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
         F.size("t") > 0
     )
+    # base feeds both the window explode and the final restore join —
+    # checkpoint so the tokenizer split runs once (A/B r7: ~1.35 -> ~1.28s)
+    base = base.localCheckpoint(eager=False)
     id_guard = F.when(
         (F.col("doc_id").cast("long") < 0) | F.col("doc_id").isNull(),
         F.raise_error(
