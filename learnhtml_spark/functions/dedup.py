@@ -572,6 +572,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
     (the window's exchange) rather than twice (agg shuffle + join shuffle
     of the same rows), and the per-round plan loses one Exchange.  Same
     groups, same min — identical output set (guide §2.3/§2.4)."""
+    return _large_star_raw(edges).distinct()
+
+
+def _large_star_raw(edges: DataFrame) -> DataFrame:
+    """``_large_star`` WITHOUT the final distinct — canonical orientation
+    only.  Used inside the fused contraction round, where the small-star
+    step's own canonicalizing distinct collapses the duplicates anyway:
+    dropping the intermediate distinct removes one Exchange per round
+    (A/B r7: ~12% off dup_clusters) at the cost of duplicate (b, m) rows
+    whose multiplicity is bounded by in-degree — the same O(degree) the
+    windows already process per hot node, so the asymptotics are
+    unchanged."""
     from pyspark.sql import Window
 
     und = edges.union(
@@ -579,10 +591,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     nmin = F.min("b").over(Window.partitionBy("a"))
     ann = und.withColumn("m", F.least(F.col("a"), nmin))
-    return _canon_edges(
-        ann.filter(F.col("b") > F.col("a")).select(
-            F.col("b").alias("x"), F.col("m").alias("y")
-        )
+    out = ann.filter(F.col("b") > F.col("a")).select(
+        F.col("b").alias("x"), F.col("m").alias("y")
+    )
+    return out.filter(F.col("x") != F.col("y")).select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
     )
 
 
@@ -653,7 +666,9 @@ def _star_contract(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     if prev[0] == 0:
         return edges, 0
     for rounds in range(1, max_iter + 1):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = _small_star(_large_star_raw(edges)).localCheckpoint(
+            eager=False
+        )
         cur = _sig(edges)
         if cur == prev:
             # fixed point of the composition; one cheap aggregate confirms
