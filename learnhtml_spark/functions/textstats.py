@@ -190,7 +190,13 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     per doc) re-joined on the doc_id primary key — one equi-join AQE
     sizes freely.  No windows, no per-row Python."""
     toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
-    base = docs.select("doc_id", toks.alias("t"))
+    # base feeds both the narrow repetition stats and the top-word
+    # aggregate branch — checkpoint so the tokenizer runs once per row
+    # (A/B r7: ~0.95 -> ~0.79s at sf0.1; a tf-style checkpoint on an
+    # aggregate output measured WORSE, this one sits before the fork)
+    base = docs.select("doc_id", toks.alias("t")).localCheckpoint(
+        eager=False
+    )
     n = F.size("t")
     # slice length n-1 is negative for empty docs — legal only because
     # grams is referenced solely inside the n >= 2 branch of the
