@@ -189,12 +189,16 @@ def source_overlap(docs: DataFrame, k: int = 3) -> DataFrame:
     ``n_sources`` rows — genuinely broadcast-sized at any corpus scale.
     Output is at most ``n_sources²/2`` rows."""
     sh = (
-        _with_shingles(docs, k, ("source",), "_sh")
-        .select("source", F.explode("_sh").alias("shingle"))
+        docs.select(
+            "source", F.explode(_shingle_array(docs, k)).alias("shingle")
+        )
         .distinct()
         # consumed three times (per-source counts + both join sides);
         # checkpointing the distinct (source, shingle) projection avoids
-        # shingling the corpus three times (A/B r7: ~1.87 -> ~1.74s)
+        # shingling the corpus three times (A/B r7: ~1.87 -> ~1.74s).
+        # Inline shingle expr, not the _with_shingles chain: for explode
+        # consumers the pre-projection measured slower (see shingles())
+        # - A/B here: inline+ckpt [1.54-1.79] vs 2proj+ckpt [1.87-2.47].
         .localCheckpoint(eager=False)
     )
     per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
@@ -282,9 +286,17 @@ def _with_shingles(docs: DataFrame, k: int, cols: tuple[str, ...], out: str):
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word k-gram shingles per document."""
-    return _with_shingles(docs, k, ("doc_id",), "_sh").select(
-        "doc_id", F.explode("_sh").alias("shingle")
+    """(doc_id, shingle) distinct word k-gram shingles per document.
+
+    Deliberately the SINGLE-projection inline form: for an explode
+    consumer the two-projection ``_with_shingles`` chain measured ~1.8×
+    SLOWER (decontaminate A/B r7: ~1.6 → ~2.9s) — the generator path
+    evaluates the inline expression once per row anyway, so the prior
+    projection only adds array materialization; ``_with_shingles``
+    remains the right form for size()-style consumers and for shared
+    checkpointed bases."""
+    return docs.select(
+        "doc_id", F.explode(_shingle_array(docs, k)).alias("shingle")
     )
 
 
