@@ -340,7 +340,10 @@ def q_minhash_lsh(spark, sf_dir):
     from learnhtml_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), num_hashes=16, band_size=4, max_band_group=1000
+        _docs(spark, sf_dir), num_hashes=16, band_size=4, max_band_group=1000,
+        # standalone candidate output: the signature-table checkpoint is a
+        # measured win here (and only here - see minhash_lsh_candidates)
+        checkpoint_sig=True,
     )
 
 

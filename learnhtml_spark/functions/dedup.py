@@ -472,6 +472,7 @@ def minhash_lsh_candidates(
     band_size: int = 4,
     k: int = 3,
     max_band_group: int | None = None,
+    checkpoint_sig: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the minhash signature are
     candidate near-duplicates — (doc_a, doc_b) distinct pairs.
@@ -491,7 +492,14 @@ def minhash_lsh_candidates(
     exchange the self-join then reuses."""
     from pyspark.sql import Window
 
-    bands = lsh_band_rows(docs, num_hashes, band_size, k, checkpoint_sig=True)
+    # checkpoint_sig default False: caching the signature table helps the
+    # STANDALONE candidate query (~8% A/B) but hurts when the candidates
+    # feed further joins (neardup_pairs A/B: ~1.7 -> ~2.2s with it on -
+    # the materialization barrier costs more than the recompute there),
+    # so the caller decides.
+    bands = lsh_band_rows(
+        docs, num_hashes, band_size, k, checkpoint_sig=checkpoint_sig
+    )
     if max_band_group is not None:
         bands = (
             bands.withColumn(
