@@ -696,6 +696,17 @@ class _TreeBuilder:
                     # a later <head>/<body> (observed: spammy multi-body
                     # pages get sibling body elements)
                     self.html_state = 0
+                elif (
+                    tag == "frameset"
+                    and len(self.stack) == 1
+                    and self.stack[0].tag == "html"
+                ):
+                    # closing a ROOT-LEVEL frameset returns the insertion
+                    # point to <html> and re-arms a later explicit <head>
+                    # exactly like </head> does (probed libxml2:
+                    # '<head><frameset></frameset><head>' keeps both
+                    # heads; body_ever still suppresses implied ones)
+                    self.html_state = 0
                 return
             if _END_BLOCK.get(cur, _END_PRIORITY.get(cur, 100)) > prio:
                 return

@@ -294,6 +294,7 @@ _struct_doc = st.lists(
 @example(doc='<title><frameset>').via('frameset start-closes title+head')
 @example(doc='<style><body>').via('body escapes style rawtext at content start')
 @example(doc='<frameset><head>').via('head discarded while a non-root element is open')
+@example(doc='<head><frameset></frameset><head>').via('root-level </frameset> re-arms an explicit head')
 @example(doc='<head><noframes><body></head><head>').via('</head> pops through body (end priority 180)')
 @example(doc='<html><!DOCTYPE html></html>').via('literal < routes through raw_text insertion point')
 def test_fuzz_structure(doc):
