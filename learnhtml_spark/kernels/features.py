@@ -101,48 +101,62 @@ def extract_features_from_tree(
     nodes = list(root.iter())
     n = len(nodes)
     index = {id(node): i for i, node in enumerate(nodes)}
-    parent = np.full(n, -1, dtype=np.int64)
+    parent_l = [-1] * n
     for i, node in enumerate(nodes):
         p = node._parent
         if p is not None:
-            parent[i] = index[id(p)]
+            parent_l[i] = index[id(p)]
 
     # ---- local features ---------------------------------------------------
-    depth_arr = np.zeros(n, dtype=np.int64)
+    # built as plain python lists and converted to numpy once at the end:
+    # per-element numpy scalar reads/writes inside these per-node loops cost
+    # ~100ns each and trees average a few dozen nodes, so array dispatch
+    # overhead dominated the array-in-the-loop form
+    depth_l = [0] * n
     for i in range(n):
-        depth_arr[i] = depth_arr[parent[i]] + 1 if parent[i] >= 0 else 1
+        p = parent_l[i]
+        depth_l[i] = depth_l[p] + 1 if p >= 0 else 1
+    depth_arr = np.asarray(depth_l, dtype=np.int64)
 
-    sibling_pos = np.zeros(n, dtype=np.int64)
-    for i, node in enumerate(nodes):
+    sp = [0] * n
+    for node in nodes:
         for k, child in enumerate(node._children):
-            sibling_pos[index[id(child)]] = k
+            sp[index[id(child)]] = k
+    sibling_pos = np.asarray(sp, dtype=np.int64)
 
-    tags = [t if isinstance(t := node.tag, str) else "html_comment" for node in nodes]
-    is_element = np.fromiter(
-        (isinstance(node.tag, str) for node in nodes), dtype=bool, count=n
-    )
-    class_text = [node.attrib.get("class", "") if isinstance(node.tag, str) else "" for node in nodes]
-    id_text = [node.attrib.get("id", "") if isinstance(node.tag, str) else "" for node in nodes]
-    no_classes = np.fromiter((len(c.split()) for c in class_text), np.int64, n)
-    id_len = np.fromiter((len(s) for s in id_text), np.int64, n)
-    class_len = np.fromiter((len(c) for c in class_text), np.int64, n)
-    no_children = np.fromiter((len(node._children) for node in nodes), np.int64, n)
+    is_el = [isinstance(node.tag, str) for node in nodes]
+    tags = [node.tag if e else "html_comment" for node, e in zip(nodes, is_el)]
+    class_text = [
+        node.attrib.get("class", "") if e else "" for node, e in zip(nodes, is_el)
+    ]
+    id_text = [
+        node.attrib.get("id", "") if e else "" for node, e in zip(nodes, is_el)
+    ]
+    no_classes_l = [len(c.split()) for c in class_text]
+    id_len_l = [len(s) for s in id_text]
+    class_len_l = [len(c) for c in class_text]
+    no_children_l = [len(node._children) for node in nodes]
+    no_classes = np.asarray(no_classes_l, dtype=np.int64)
+    id_len = np.asarray(id_len_l, dtype=np.int64)
+    class_len = np.asarray(class_len_l, dtype=np.int64)
+    no_children = np.asarray(no_children_l, dtype=np.int64)
 
     # subtree text length, bottom-up (reverse document order): the subtree
     # text of an element is its text + each child's subtree text + tail;
     # comment/PI children contribute only their tails (lxml itertext rule)
-    text_len = np.zeros(n, dtype=np.int64)
+    tl = [0] * n
     for i in range(n - 1, -1, -1):
         node = nodes[i]
         total = len(node.text) if node.text else 0
         for child in node._children:
             ci = index[id(child)]
             if isinstance(child.tag, str):
-                total += text_len[ci]
+                total += tl[ci]
             if child.tail:
                 total += len(child.tail)
-        text_len[i] = total
-    text_len = np.where(is_element, text_len, 0)
+        tl[i] = total
+    text_len_l = [t if e else 0 for t, e in zip(tl, is_el)]
+    text_len = np.asarray(text_len_l, dtype=np.int64)
 
     if select_nodes is None:
         keep = None
@@ -175,84 +189,97 @@ def extract_features_from_tree(
     }
 
     # ---- descendant aggregates --------------------------------------------
-    # the level-L ancestor of every node is computed by vectorized gather
-    # chaining; numeric per-(ancestor, level) sums are bincounts, and the
-    # comma-joined string lists are assembled only for the kept rows
+    # aggregates are only needed for the KEPT rows, so one pass walks each
+    # node's ancestor chain (≤ depth steps) and accumulates straight into
+    # the kept ancestor's row — replacing the per-level bincount/gather
+    # machinery whose ~30 tiny-array numpy dispatches per document
+    # dominated this kernel (trees average a few dozen nodes).  Sums
+    # accumulate in document order of the contributing node, the same
+    # order np.bincount added them, and integer partial sums are exact in
+    # float64, so every average is bit-identical to the vectorized form.
     if depth > 0:
-        node_idx = np.arange(n)
-        kept_mask = np.zeros(n, dtype=bool)
-        kept_mask[kept] = True
+        nk = len(kept)
         kept_pos = {node: row for row, node in enumerate(kept)}
-        anc = parent.copy()
+        counts = [[0] * nk for _ in range(depth)]
+        sums = [[[0] * nk for _ in range(5)] for _ in range(depth)]
+        l_classes = [[[] for _ in range(nk)] for _ in range(depth)]
+        l_ids = [[[] for _ in range(nk)] for _ in range(depth)]
+        l_tags = [[[] for _ in range(nk)] for _ in range(depth)]
+        for i in range(n):
+            a = parent_l[i]
+            lvl = 0
+            while a >= 0 and lvl < depth:
+                row = kept_pos.get(a)
+                if row is not None:
+                    counts[lvl][row] += 1
+                    s = sums[lvl]
+                    s[0][row] += no_children_l[i]
+                    s[1][row] += id_len_l[i]
+                    s[2][row] += no_classes_l[i]
+                    s[3][row] += class_len_l[i]
+                    s[4][row] += text_len_l[i]
+                    # reference quirk: ' '.join over the class string's chars
+                    l_classes[lvl][row].append(" ".join(class_text[i]))
+                    l_ids[lvl][row].append(id_text[i])
+                    l_tags[lvl][row].append(tags[i])
+                a = parent_l[a]
+                lvl += 1
         for lvl in range(depth):
-            valid = anc >= 0
-            tgt = anc[valid]
-            c = np.bincount(tgt, minlength=n).astype(np.int64)
-            safe = np.where(c > 0, c, 1)
             pre = f"descendant{lvl + 1}_"
-            data[pre + "no_nodes"] = col_num(c)
-            for name, src in (
-                ("no_children_avg", no_children),
-                ("id_len_avg", id_len),
-                ("no_classes_avg", no_classes),
-                ("class_len_avg", class_len),
-                ("text_len_avg", text_len),
+            c = counts[lvl]
+            data[pre + "no_nodes"] = np.asarray(c, dtype=np.int64)
+            for k, name in enumerate(
+                ("no_children_avg", "id_len_avg", "no_classes_avg",
+                 "class_len_avg", "text_len_avg")
             ):
-                sums = np.bincount(tgt, weights=src[valid], minlength=n)
-                data[pre + name] = col_num(np.where(c > 0, sums / safe, 0.0))
-
-            l_classes = [[] for _ in kept]
-            l_ids = [[] for _ in kept]
-            l_tags = [[] for _ in kept]
-            sel = valid & kept_mask[np.maximum(anc, 0)]
-            for i in node_idx[sel]:
-                row = kept_pos[anc[i]]
-                # reference quirk: ' '.join over the class string's chars
-                l_classes[row].append(" ".join(class_text[i]))
-                l_ids[row].append(id_text[i])
-                l_tags[row].append(tags[i])
-            data[pre + "classes"] = [",".join(x) for x in l_classes]
-            data[pre + "ids"] = [",".join(x) for x in l_ids]
-            data[pre + "tags"] = [",".join(x) for x in l_tags]
-
-            anc = np.where(valid, parent[np.maximum(anc, 0)], -1)
+                s = sums[lvl][k]
+                data[pre + name] = np.asarray(
+                    [s[r] / c[r] if c[r] else 0.0 for r in range(nk)],
+                    dtype=np.float64,
+                )
+            data[pre + "classes"] = [",".join(x) for x in l_classes[lvl]]
+            data[pre + "ids"] = [",".join(x) for x in l_ids[lvl]]
+            data[pre + "tags"] = [",".join(x) for x in l_tags[lvl]]
 
     # ---- ancestor features -------------------------------------------------
     if height > 0:
         local_rows = list(
             zip(
-                depth_arr.tolist(),
-                sibling_pos.tolist(),
+                depth_l,
+                sp,
                 tags,
-                no_classes.tolist(),
-                id_len.tolist(),
-                class_len.tolist(),
-                no_children.tolist(),
-                text_len.tolist(),
+                no_classes_l,
+                id_len_l,
+                class_len_l,
+                no_children_l,
+                text_len_l,
                 class_text,
                 id_text,
             )
         )
-        anc_idx = np.full((len(kept), height), -1, dtype=np.int64)
-        for row, i in enumerate(kept):
-            a = parent[i]
-            for h in range(height):
+        anc_chains = []
+        for i in kept:
+            chain = []
+            a = parent_l[i]
+            for _h in range(height):
                 if a < 0:
                     break
-                anc_idx[row, h] = a
-                a = parent[a]
+                chain.append(a)
+                a = parent_l[a]
+            anc_chains.append(chain)
         for h in range(height):
             col_rows = [
-                local_rows[a] if (a := anc_idx[row, h]) >= 0 else _EMPTY_LOCAL
-                for row in range(len(kept))
+                local_rows[c[h]] if h < len(c) else _EMPTY_LOCAL
+                for c in anc_chains
             ]
             pre = f"ancestor{h + 1}_"
+            # one C-level transpose instead of a listcomp per column
+            cols = list(zip(*col_rows)) or [()] * len(LOCAL_COLUMNS)
             for k, name in enumerate(LOCAL_COLUMNS):
-                vals = [r[k] for r in col_rows]
                 if name in ("tag", "class_text", "id_text"):
-                    data[pre + name] = vals
+                    data[pre + name] = list(cols[k])
                 else:
-                    data[pre + name] = np.asarray(vals, dtype=np.int64)
+                    data[pre + name] = np.asarray(cols[k], dtype=np.int64)
 
     data["path"] = [getpath(nodes[i]) for i in kept]
     if as_columns:
