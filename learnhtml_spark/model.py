@@ -57,16 +57,30 @@ _SLOT_CACHE: dict = {}
 _SLOT_CACHE_MAX = 500_000
 
 
+#: per-column crc32 of the "col=" prefix: crc32 is streamable
+#: (crc32(a+b) == crc32(b, crc32(a))), so hashing a value under its column
+#: namespace only has to hash the value bytes, not re-hash the ~20-byte
+#: prefix per gram — slots are bit-identical to crc32(col + "=" + gram)
+_BASE_CRC: dict = {}
+
+
 def _value_slots(col: str, v: str) -> tuple:
     key = (col, v)
     cached = _SLOT_CACHE.get(key)
     if cached is not None:
         return cached
-    base = col + "="
+    crc = zlib.crc32
+    bc = _BASE_CRC.get(col)
+    if bc is None:
+        bc = _BASE_CRC[col] = crc((col + "=").encode("utf-8", "ignore"))
     if col.endswith("tag"):
-        out = (_slot(base + v),)
+        out = (crc(v.encode("utf-8", "ignore"), bc) % HASH_DIM,)
     elif col.endswith("tags"):
-        out = tuple(_slot(base + tok) for tok in v.split(",") if tok)
+        out = tuple(
+            crc(tok.encode("utf-8", "ignore"), bc) % HASH_DIM
+            for tok in v.split(",")
+            if tok
+        )
     else:  # class/id text: char 3-grams after camel split + lower
         s = camel_case_split(v).lower()
         if not s:
@@ -74,7 +88,8 @@ def _value_slots(col: str, v: str) -> tuple:
         else:
             padded = f" {s} "
             out = tuple(
-                _slot(base + padded[j : j + 3]) for j in range(len(padded) - 2)
+                crc(padded[j : j + 3].encode("utf-8", "ignore"), bc) % HASH_DIM
+                for j in range(len(padded) - 2)
             )
     if len(_SLOT_CACHE) >= _SLOT_CACHE_MAX:
         _SLOT_CACHE.clear()
