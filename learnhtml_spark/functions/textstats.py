@@ -458,10 +458,24 @@ def normalize_docs(docs: DataFrame, form: str = "NFC") -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        run,
-        schema=(
-            "doc_id long, text_norm string, changed boolean, "
-            "n_chars_raw long, n_chars_norm long"
-        ),
+    # doc_id keeps the INPUT table's key type (WARC-derived tables key on
+    # URL strings; the sf tables on longs) instead of hardcoding long
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
+
+    narrow = docs.select("doc_id", "text")
+    out_schema = StructType(
+        [
+            StructField("doc_id", narrow.schema["doc_id"].dataType),
+            StructField("text_norm", StringType()),
+            StructField("changed", BooleanType()),
+            StructField("n_chars_raw", LongType()),
+            StructField("n_chars_norm", LongType()),
+        ]
+    )
+    return narrow.mapInPandas(run, schema=out_schema)

@@ -45,6 +45,14 @@ def canonical_url(url: Column) -> Column:
       ``&&`` runs dropped, ``?`` dropped when the query is empty;
     - fragment dropped (never sent to the server).
 
+    Bracketed (IPv6) authorities are OUT OF SCOPE and passed through
+    unchanged: the host/port split below is written for reg-names, and
+    mangling ``http://[::1]:8080/x`` into a corrupt form would be worse
+    than not normalizing it (crawl corpora key on hostnames; IPv6
+    literals are vanishingly rare and never arrive in case/port-variant
+    spellings from the same fetcher).  Guarded by a ``[`` prefix test on
+    the authority, pinned by a unit test.
+
     Deliberately NOT applied (documented scope, not an oversight):
     path dot-segment removal and percent-encoding normalization
     (§6.2.2.2/.3).  Both are iterative/character-class rewrites that a
@@ -77,7 +85,9 @@ def canonical_url(url: Column) -> Column:
     q_part = F.when(
         sorted_q == "", F.lit("")
     ).otherwise(F.concat(F.lit("?"), sorted_q))
-    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    # IPv6/bracketed authority: out of scope, pass through (see docstring)
+    return F.when(auth.startswith("["), url).otherwise(canon)
 
 
 def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:

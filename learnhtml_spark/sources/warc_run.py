@@ -65,7 +65,10 @@ WARC_LINEAGE = StructType(
         StructField("doc_count", LongType()),
         StructField("span_count", LongType()),
         StructField("error_count", LongType()),
-        StructField("wall_ms", LongType()),
+        # wall clock of the WHOLE batch call that landed this archive (the
+        # same value is stamped on every archive of one call) — named so
+        # the manifest cannot be misread as per-archive timing
+        StructField("batch_wall_ms", LongType()),
         StructField("status", StringType()),
     ]
 )
@@ -158,7 +161,12 @@ def warc_classifier_spans_fused(raw: DataFrame, model_bytes: bytes) -> DataFrame
     docs = raw.mapInPandas(assemble, schema=WARC_DOCS)
     spans = extract_content_spans(docs, model_bytes)
     key = F.split_part(F.col("doc_id"), F.lit(_KEY_SEP), F.lit(1))
-    url = F.split_part(F.col("doc_id"), F.lit(_KEY_SEP), F.lit(2))
+    # everything after the FIRST separator is the URI — a tab inside a
+    # URI stays part of it instead of silently truncating the doc_id
+    # (the basename itself is guarded against tabs at pack time)
+    url = F.expr(
+        f"substring(doc_id, length(split_part(doc_id, '{_KEY_SEP}', 1)) + 2)"
+    )
     return spans.select(
         key.alias("archive"),
         url.alias("doc_id"),
@@ -224,7 +232,6 @@ def write_warc_run(
     first-pass strip); a NodeClassifier artifact -> the full ML
     extraction path (warc_classifier_spans_fused).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = list_archives(spark, warc_dir)
     done = completed_archives(spark, base_path, run_id)
     pending = sorted(set(manifest) - done)
@@ -244,9 +251,12 @@ def write_warc_run(
         out = warc_heuristic_spans_fused(raw)
     else:
         out = warc_classifier_spans_fused(raw, model_bytes)
-    out.write.mode("overwrite").partitionBy("archive").parquet(
-        os.path.join(base_path, "spans")
-    )
+    # per-write dynamic overwrite: only the partitions this call produced
+    # are replaced, WITHOUT mutating the caller's session-wide overwrite
+    # semantics (spark.conf.set would leak to unrelated writes)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("archive").parquet(os.path.join(base_path, "spans"))
     wall_ms = int((time.time() - t0) * 1000)
 
     # per-archive metrics from the landed output (explicit schema: an

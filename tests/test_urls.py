@@ -108,3 +108,30 @@ def test_documented_scope(spark):
         "http://x.example/a/../b",
         "http://x.example/%7Eu",
     ]
+
+
+def test_ipv6_authority_passthrough(spark):
+    # bracketed (IPv6) authorities are out of scope and pass through
+    # UNCHANGED — without the guard the reg-name host/port split yields
+    # a corrupt '[' host (see the canonical_url docstring)
+    urls = [
+        "http://[::1]:8080/x",
+        "HTTP://[2001:db8::1]/p?b=2&a=1#f",
+        "https://[::1]:443/",
+    ]
+    assert _canon(spark, urls) == urls
+
+
+def test_normalize_docs_string_doc_id(spark):
+    # doc_id keeps the input table's key type: WARC-derived tables key
+    # on URL strings (a hardcoded 'doc_id long' schema raised an Arrow
+    # type error here)
+    from learnhtml_spark.functions.textstats import normalize_docs
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "Café"), ("https://b.example/y", "ok")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in normalize_docs(df, "NFC").collect()}
+    assert rows["https://a.example/x"].text_norm == "Café"
+    assert rows["https://b.example/y"].changed is False
