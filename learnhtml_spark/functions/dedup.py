@@ -884,14 +884,26 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     shuffle; the signature is assembled from the vote sums post-agg and
     cast to bigint explicitly so SQL oracles (DuckDB sum → HUGEINT)
     compare exactly."""
+    # ONE base-16 conversion of the leading bits/4 hex chars per token
+    # (materialized in a prior projection so it cannot be re-evaluated
+    # per vote), then each vote is a cheap shift/and: hex char j
+    # (1-based) carries weight 16^(nchars-j) in _v, so the old per-bit
+    # conv(substr(th, 1 + b//4, 1)) nibble is (_v >> 4*(nchars-1-b//4))
+    # & 15 and its bit (b % 4) is the single shift below — identical
+    # ±1 votes, 16× fewer conv/substr evaluations per token row
+    nchars = (bits + 3) // 4
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
-    ).withColumn("th", F.md5("tok"))
+    ).select(
+        "doc_id",
+        F.conv(F.md5("tok").substr(1, nchars), 16, 10)
+        .cast("long")
+        .alias("_v"),
+    )
 
     def vote(b):
-        # nibble value of hex char at (1 + b/4), then bit (b % 4): ±1
-        nib = F.conv(F.col("th").substr(1 + b // 4, 1), 16, 10).cast("int")
-        return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        shift = 4 * (nchars - 1 - b // 4) + (b % 4)
+        return F.shiftright(F.col("_v"), shift).bitwiseAND(F.lit(1)) * 2 - 1
 
     sums = tok.groupBy("doc_id").agg(
         *[F.sum(vote(b)).alias(f"v{b}") for b in range(bits)]
